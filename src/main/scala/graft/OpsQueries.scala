@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** Query registry for the training-data-pipeline operators (dedup,
+  * similarity search, text analysis, multimodal) over documents/embeddings.
+  */
+object OpsQueries {
+
+  private type Q = (SparkSession, String) => DataFrame
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+  private def embs(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+
+  // ---------------------------------------------------------------- dedup
+
+  val dedupExact: Q = (s, dir) =>
+    Dedup.exact(docs(s, dir)).orderBy(col("sha"))
+
+  val dedupExactSql: String =
+    """SELECT sha256(text) AS sha, min(doc_id) AS keep_id, count(*) AS n_copies
+      |FROM documents GROUP BY sha ORDER BY sha""".stripMargin
+
+  val dedupMinhash: Q = (s, dir) =>
+    Dedup.minhashNearDups(docs(s, dir)).orderBy(col("doc_a"), col("doc_b"))
+
+  val dedupSimhash: Q = (s, dir) =>
+    Dedup.simhashNearDups(docs(s, dir)).orderBy(col("doc_a"), col("doc_b"))
+
+  val dedupNgram: Q = (s, dir) =>
+    Dedup.ngramJaccard(docs(s, dir)).orderBy(col("doc_a"), col("doc_b"))
+
+  val dedupEmbedding: Q = (s, dir) =>
+    Dedup.embeddingNearDups(embs(s, dir)).orderBy(col("vec_a"), col("vec_b"))
+
+  // ---------------------------------------------------------------- ANN
+
+  private def queriesOf(e: DataFrame): DataFrame =
+    e.filter(col("vec_id") < 5).select(col("vec_id").as("query_id"), col("embedding"))
+
+  val annBruteTopk: Q = (s, dir) => {
+    val e = embs(s, dir)
+    Similarity.bruteForceTopK(e, queriesOf(e), k = 10)
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** DuckDB's list_cosine_similarity verifies the exact top-k path. */
+  val annBruteTopkSql: String =
+    """SELECT query_id, vec_id, round(cos, 4) AS cos, rnk FROM (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+      |    list_cosine_similarity(q.embedding, c.embedding) AS cos,
+      |    row_number() OVER (PARTITION BY q.vec_id
+      |      ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id ASC) AS rnk
+      |  FROM embeddings q, embeddings c WHERE q.vec_id < 5)
+      |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin
+
+  val annIvfTopk: Q = (s, dir) => {
+    val e = embs(s, dir)
+    Similarity.ivfTopK(e, queriesOf(e), k = 10)
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  // ---------------------------------------------------------------- text
+
+  val textLangid: Q = (s, dir) =>
+    TextAnalysis.langId(docs(s, dir)).orderBy(col("doc_id"))
+
+  val textQuality: Q = (s, dir) =>
+    TextAnalysis.quality(docs(s, dir)).orderBy(col("doc_id"))
+
+  val textQualitySql: String =
+    """SELECT doc_id,
+      |  length(text) AS n_chars,
+      |  len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS n_tokens,
+      |  round(length(text)::DOUBLE / greatest(len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')), 1), 4) AS avg_token_len,
+      |  round((length(text) - length(regexp_replace(text, '[\.,;:!\?]', '', 'g')))::DOUBLE / greatest(length(text), 1), 4) AS punct_ratio,
+      |  round((length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE / greatest(length(text), 1), 4) AS digit_ratio,
+      |  round((length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')))::DOUBLE / greatest(length(text), 1), 4) AS upper_ratio,
+      |  round(len(list_intersect(list_distinct(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')), ['the','and','of','to','in','is','that','with','for','was']))::DOUBLE / 10.0, 4) AS stopword_cov
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  val textTokens: Q = (s, dir) =>
+    TextAnalysis.tokenCounts(docs(s, dir)).orderBy(col("doc_id"))
+
+  val textFingerprint: Q = (s, dir) =>
+    TextAnalysis.fingerprints(docs(s, dir)).orderBy(col("doc_id"))
+
+  // ---------------------------------------------------------------- media
+
+  val multimodalFeatures: Q = (s, dir) =>
+    Multimodal.featureStats(s, docs(s, dir))
+
+  // ---------------------------------------------------------------- registry
+
+  def all: Map[String, Q] = Map(
+    "dedup_exact" -> dedupExact,
+    "dedup_minhash_lsh" -> dedupMinhash,
+    "dedup_simhash" -> dedupSimhash,
+    "dedup_ngram_jaccard" -> dedupNgram,
+    "dedup_embedding_cosine" -> dedupEmbedding,
+    "ann_brute_topk" -> annBruteTopk,
+    "ann_ivf_topk" -> annIvfTopk,
+    "text_langid" -> textLangid,
+    "text_quality" -> textQuality,
+    "text_tokens" -> textTokens,
+    "text_fingerprint" -> textFingerprint,
+    "multimodal_features" -> multimodalFeatures,
+  )
+
+  def oracles: Map[String, String] = Map(
+    "dedup_exact" -> dedupExactSql,
+    "ann_brute_topk" -> annBruteTopkSql,
+    "text_quality" -> textQualitySql,
+  )
+}

@@ -1,0 +1,371 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The operator-level exercise surface: one query per implemented operator
+  * from SURVEY.md §2 (+ the training-data ops), each over the driver's
+  * TPC-H-ish testdata so DuckDB can oracle-check it.
+  *
+  * Conventions (driver compare contract):
+  *   - column names identical between Spark result and oracle SQL;
+  *   - every SQL-expressible query ends in an explicit total-order sort on
+  *     both sides;
+  *   - doubles rounded to 4 decimals on both sides (hash compare is exact);
+  *   - queries with no oracle entry are rows-only checks.
+  */
+object Queries {
+
+  private type Q = (SparkSession, String) => DataFrame
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  // ------------------------------------------------------------------
+  // Aggregations (SURVEY §2.4)
+  // ------------------------------------------------------------------
+
+  /** A1-analogue: TPC-H Q1 pricing summary — partial-agg groupBy. */
+  val q1Agg: Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 4).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 4).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("sum_disc_price"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  val q1AggSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  round(sum(l_quantity), 4) AS sum_qty,
+      |  round(sum(l_extendedprice), 4) AS sum_base_price,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+      |  round(avg(l_discount), 4) AS avg_disc,
+      |  count(*) AS count_order
+      |FROM lineitem
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** A2: latest-object argmax per key (max_by). */
+  val a2LatestArgmax: Q = (s, dir) =>
+    t(s, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(max_by(struct(col("ts"), col("event_id"), col("event_type")),
+        struct(col("ts"), col("event_id"))).as("m"))
+      .select(col("user_id"), col("m.event_id").as("event_id"),
+        col("m.event_type").as("event_type"))
+      .orderBy(col("user_id"))
+
+  val a2LatestArgmaxSql: String =
+    """SELECT user_id, event_id, event_type
+      |FROM (SELECT user_id, event_id, event_type,
+      |        row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |      FROM events)
+      |WHERE rn = 1 ORDER BY user_id""".stripMargin
+
+  /** A3: deterministic group text concat (sort_array first — SURVEY A3). */
+  val a3GroupConcat: Q = (s, dir) =>
+    t(s, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(concat_ws("|", sort_array(collect_list(col("event_type")))).as("types"))
+      .orderBy(col("user_id"))
+
+  val a3GroupConcatSql: String =
+    """SELECT user_id, string_agg(event_type, '|' ORDER BY event_type) AS types
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** A4+A5: edge-weight sum + per-src window-normalized weights. */
+  val a5NormalizedWeights: Q = (s, dir) => {
+    val edges = t(s, dir, "events")
+      .groupBy(col("user_id").as("src"), col("event_type").as("dst"))
+      .agg(sum(col("value")).as("w"))
+    edges
+      .withColumn("w_norm",
+        round(col("w") / sum(col("w")).over(Window.partitionBy(col("src"))), 4))
+      .select(col("src"), col("dst"), col("w_norm"))
+      .orderBy(col("src"), col("dst"))
+  }
+
+  val a5NormalizedWeightsSql: String =
+    """SELECT src, dst, round(w / sum(w) OVER (PARTITION BY src), 4) AS w_norm
+      |FROM (SELECT user_id AS src, event_type AS dst, sum(value) AS w
+      |      FROM events GROUP BY 1, 2)
+      |ORDER BY src, dst""".stripMargin
+
+  /** A8: token frequency dictionary (explode + count + HAVING + top-V). */
+  val a8TokenFreq: Q = (s, dir) =>
+    t(s, dir, "documents")
+      .select(explode(split(col("text"), "\\s+")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("freq"))
+      .filter(col("freq") > 5)
+      .orderBy(col("freq").desc, col("token"))
+      .limit(100)
+
+  val a8TokenFreqSql: String =
+    """SELECT token, count(*) AS freq
+      |FROM (SELECT unnest(regexp_split_to_array(text, '\s+')) AS token FROM documents)
+      |WHERE token <> ''
+      |GROUP BY token HAVING count(*) > 5
+      |ORDER BY freq DESC, token LIMIT 100""".stripMargin
+
+  /** A16: distinct. */
+  val a16Distinct: Q = (s, dir) =>
+    t(s, dir, "events").select(col("user_id"), col("event_type"))
+      .distinct()
+      .orderBy(col("user_id"), col("event_type"))
+
+  val a16DistinctSql: String =
+    """SELECT DISTINCT user_id, event_type FROM events
+      |ORDER BY user_id, event_type""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Joins (SURVEY §2.5)
+  // ------------------------------------------------------------------
+
+  /** J1: candidate equi-join (broadcast dim). */
+  val j1EquiJoin: Q = (s, dir) => {
+    val li = t(s, dir, "lineitem")
+    val sup = t(s, dir, "supplier")
+    val nat = t(s, dir, "nation")
+    li.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice")), 2).as("revenue"),
+        count(lit(1)).as("n"))
+      .orderBy(col("n_name"))
+  }
+
+  val j1EquiJoinSql: String =
+    """SELECT n_name, round(sum(l_extendedprice), 2) AS revenue, count(*) AS n
+      |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+
+  /** P9/J4: left-semi broadcast join (id-set membership). */
+  val j4SemiJoin: Q = (s, dir) => {
+    val highValue = t(s, dir, "orders")
+      .filter(col("o_totalprice") > 100000).select(col("o_orderkey"))
+    t(s, dir, "lineitem")
+      .join(broadcast(highValue), col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 4).as("qty"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val j4SemiJoinSql: String =
+    """SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 4) AS qty
+      |FROM lineitem
+      |WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 100000)
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** P7-complement / anti join. */
+  val j5AntiJoin: Q = (s, dir) =>
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+
+  val j5AntiJoinSql: String =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+      |ORDER BY c_custkey""".stripMargin
+
+  /** J6: case-insensitive value join (gold labeling). */
+  val j6ValueJoin: Q = (s, dir) => {
+    val cust = t(s, dir, "customer")
+    val nat = t(s, dir, "nation")
+    cust.join(broadcast(nat), lower(col("c_mktsegment")) === lower(col("n_name")), "left")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(col("n_nationkey")).as("n_matched"), count(lit(1)).as("n"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val j6ValueJoinSql: String =
+    """SELECT c_mktsegment, count(n_nationkey) AS n_matched, count(*) AS n
+      |FROM customer LEFT JOIN nation ON lower(c_mktsegment) = lower(n_name)
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Windows / top-k / selection (SURVEY §2.6)
+  // ------------------------------------------------------------------
+
+  /** W1: per-group top-K with deterministic tie-break. */
+  val w1TopkPerGroup: Q = (s, dir) => {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    t(s, dir, "orders")
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("rnk"))
+      .orderBy(col("o_custkey"), col("rnk"))
+  }
+
+  val w1TopkPerGroupSql: String =
+    """SELECT o_custkey, o_orderkey, rnk FROM (
+      |  SELECT o_custkey, o_orderkey,
+      |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+      |  FROM orders)
+      |WHERE rnk <= 3 ORDER BY o_custkey, rnk""".stripMargin
+
+  /** W3: argmax-with-margin selection (PrepareTrainingSet.java:904-926). */
+  val w3ArgmaxMargin: Q = (s, dir) => {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    t(s, dir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .withColumn("second", coalesce(lead(col("o_totalprice"), 1).over(w), lit(0.0)))
+      .filter(col("rn") === 1 &&
+        col("o_totalprice") - col("second") > 20000 &&
+        col("o_totalprice") > 50000)
+      .select(col("o_custkey"), col("o_orderkey"),
+        round(col("o_totalprice") - col("second"), 4).as("margin"))
+      .orderBy(col("o_custkey"))
+  }
+
+  val w3ArgmaxMarginSql: String =
+    """SELECT o_custkey, o_orderkey, round(o_totalprice - second, 4) AS margin FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn,
+      |    coalesce(lead(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC), 0.0) AS second
+      |  FROM orders)
+      |WHERE rn = 1 AND o_totalprice - second > 20000 AND o_totalprice > 50000
+      |ORDER BY o_custkey""".stripMargin
+
+  /** O1/W4: global top-N (TakeOrderedAndProject). */
+  val o1TopN: Q = (s, dir) =>
+    t(s, dir, "orders")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .limit(25)
+
+  val o1TopNSql: String =
+    """SELECT o_orderkey, o_totalprice FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 25""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Scalar functions / filters (SURVEY §2.2-2.3)
+  // ------------------------------------------------------------------
+
+  /** F1: whitespace normalization (prepareString). */
+  val f1Normalize: Q = (s, dir) =>
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        trim(regexp_replace(col("text"), "\\s+", " ")).as("norm"))
+      .orderBy(col("doc_id"))
+
+  val f1NormalizeSql: String =
+    """SELECT doc_id, trim(regexp_replace(text, '\s+', ' ', 'g')) AS norm
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** F3: levenshtein distance (built-in both sides). */
+  val f3Levenshtein: Q = (s, dir) =>
+    t(s, dir, "nation")
+      .select(col("n_name"), levenshtein(col("n_name"), lit("ARGENTINA")).as("dist"))
+      .orderBy(col("n_name"))
+
+  val f3LevenshteinSql: String =
+    """SELECT n_name, levenshtein(n_name, 'ARGENTINA') AS dist
+      |FROM nation ORDER BY n_name""".stripMargin
+
+  /** F6: 0-guarded log-scaled count features. */
+  val f6LogFeatures: Q = (s, dir) =>
+    t(s, dir, "customer")
+      .select(col("c_custkey"),
+        round(when(col("c_acctbal") > 0, log(col("c_acctbal"))).otherwise(0.0), 4)
+          .as("log_bal"))
+      .orderBy(col("c_custkey"))
+
+  val f6LogFeaturesSql: String =
+    """SELECT c_custkey,
+      |  round(CASE WHEN c_acctbal > 0 THEN ln(c_acctbal) ELSE 0.0 END, 4) AS log_bal
+      |FROM customer ORDER BY c_custkey""".stripMargin
+
+  /** F13: resource-id cleaning via regexp. */
+  val f13RegexClean: Q = (s, dir) =>
+    t(s, dir, "part")
+      .select(col("p_partkey"),
+        regexp_replace(col("p_name"), "[aeiou]", "").as("cleaned"),
+        regexp_extract(col("p_name"), "^(\\w+)", 1).as("first_word"))
+      .orderBy(col("p_partkey"))
+
+  val f13RegexCleanSql: String =
+    """SELECT p_partkey, regexp_replace(p_name, '[aeiou]', '', 'g') AS cleaned,
+      |  regexp_extract(p_name, '^(\w+)', 1) AS first_word
+      |FROM part ORDER BY p_partkey""".stripMargin
+
+  /** F21: sha256 content invariant (input_hint). */
+  val f21Sha256: Q = (s, dir) =>
+    t(s, dir, "documents")
+      .select(col("doc_id"), sha2(col("text"), 256).as("sha"))
+      .orderBy(col("doc_id"))
+
+  val f21Sha256Sql: String =
+    """SELECT doc_id, sha256(text) AS sha FROM documents ORDER BY doc_id""".stripMargin
+
+  /** F9: capped date-diff recency (explicit "now" for determinism). */
+  val f9Recency: Q = (s, dir) =>
+    t(s, dir, "events")
+      .select(col("event_id"),
+        least(datediff(lit("2026-01-01").cast("date"), col("ts").cast("date")),
+          lit(100)).as("days_capped"))
+      .orderBy(col("event_id"))
+
+  val f9RecencySql: String =
+    """SELECT event_id,
+      |  least(datediff('day', CAST(ts AS DATE), DATE '2026-01-01'), 100) AS days_capped
+      |FROM events ORDER BY event_id""".stripMargin
+
+  // ------------------------------------------------------------------
+  // registry
+  // ------------------------------------------------------------------
+
+  /** Rows-only (non-SQL-expressible) queries live in OpsQueries + KgQueries. */
+  def all: Map[String, Q] = Map(
+    "q1_agg" -> q1Agg,
+    "a2_latest_argmax" -> a2LatestArgmax,
+    "a3_group_concat" -> a3GroupConcat,
+    "a5_normalized_weights" -> a5NormalizedWeights,
+    "a8_token_freq" -> a8TokenFreq,
+    "a16_distinct" -> a16Distinct,
+    "j1_equi_join" -> j1EquiJoin,
+    "j4_semi_join" -> j4SemiJoin,
+    "j5_anti_join" -> j5AntiJoin,
+    "j6_value_join" -> j6ValueJoin,
+    "w1_topk_per_group" -> w1TopkPerGroup,
+    "w3_argmax_margin" -> w3ArgmaxMargin,
+    "o1_top_n" -> o1TopN,
+    "f1_normalize" -> f1Normalize,
+    "f3_levenshtein" -> f3Levenshtein,
+    "f6_log_features" -> f6LogFeatures,
+    "f13_regex_clean" -> f13RegexClean,
+    "f21_sha256" -> f21Sha256,
+    "f9_recency" -> f9Recency,
+  ) ++ OpsQueries.all ++ KgQueries.all
+
+  def oracles: Map[String, String] = Map(
+    "q1_agg" -> q1AggSql,
+    "a2_latest_argmax" -> a2LatestArgmaxSql,
+    "a3_group_concat" -> a3GroupConcatSql,
+    "a5_normalized_weights" -> a5NormalizedWeightsSql,
+    "a8_token_freq" -> a8TokenFreqSql,
+    "a16_distinct" -> a16DistinctSql,
+    "j1_equi_join" -> j1EquiJoinSql,
+    "j4_semi_join" -> j4SemiJoinSql,
+    "j5_anti_join" -> j5AntiJoinSql,
+    "j6_value_join" -> j6ValueJoinSql,
+    "w1_topk_per_group" -> w1TopkPerGroupSql,
+    "w3_argmax_margin" -> w3ArgmaxMarginSql,
+    "o1_top_n" -> o1TopNSql,
+    "f1_normalize" -> f1NormalizeSql,
+    "f3_levenshtein" -> f3LevenshteinSql,
+    "f6_log_features" -> f6LogFeaturesSql,
+    "f13_regex_clean" -> f13RegexCleanSql,
+    "f21_sha256" -> f21Sha256Sql,
+    "f9_recency" -> f9RecencySql,
+  ) ++ OpsQueries.oracles ++ KgQueries.oracles
+}

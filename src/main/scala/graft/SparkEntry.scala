@@ -1,13 +1,27 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` carries one entry per implemented operator from SURVEY.md §2
+  * (plus the training-data-pipeline ops). Every SQL-expressible query has a
+  * DuckDB oracle in `oracleSql` with IDENTICAL column names and an explicit
+  * total-order ORDER BY on both sides so the driver's hash compare is
+  * deterministic. Non-SQL-expressible ops (LSH, pipeline stages, …) are
+  * rows-only checks.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship: the full KG pipeline (corpus → dictionary → candidates →
+    * scoring → triples) on a deterministically synthesized tiny corpus.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    kg.Pipeline.triplesForScale(spark, kg.CorpusGen.Tiny)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Queries.all
+
+  def oracleSql: Map[String, String] = Queries.oracles
 }

@@ -1,0 +1,99 @@
+package graft.kg
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Pipeline tuning knobs (reference constants in BASELINE.md). */
+final case class KgConf(
+    topK: Int = 40,              // CANDIDATES_THRESHOLD, PrepareTrainingSet.java:73
+    backoffThreshold: Int = 300, // FillFromIndex.java:104
+    minScore: Double = 0.5,      // decision grid midpoint, PrepareTrainingSet.java:937-943
+    margin: Double = 0.1,
+    strongThreshold: Double = 0.9, // ScoreEntities.java:141
+    // logistic scorer weights (north_star: LR-style scorer replacing the NN)
+    wName: Double = 5.0,
+    wCos: Double = 4.0,
+    wFollowers: Double = 0.3,
+    wFreq: Double = 0.15,
+    wVerified: Double = 0.3,
+    bias: Double = -6.0)
+
+/** Stage 3: candidate generation — entity query names joined against the
+  * dictionary, per-entity frequency rollup, top-K with deterministic
+  * tie-break, and the >threshold back-off second pass.
+  *
+  * Reference: FillFromIndex.java:87-158 (J1 join + A7 rollup + W1 top-K +
+  * J11 back-off ladder) and AllNamesStrategy.java:68-117 (query names).
+  *
+  * Scale notes: the dictionary is corpus-derived and huge; the entity-name
+  * side is small → broadcast the ENTITY side into the join so the dictionary
+  * never shuffles. The top-K window partitions by entity_id; Catalyst ≥3.5
+  * turns the rank-filter into WindowGroupLimit (partial top-K before the
+  * shuffle), so no full per-entity sort materializes.
+  */
+object CandidateGen {
+
+  /** Query-name expansion (AllNamesStrategy semantics): normalized names ∪
+    * labels, plus "Last, First"-swapped variants, length ≥ 3, distinct.
+    */
+  val queryNamesUdf = udf((names: Seq[String], labels: Seq[String]) => {
+    val all = (Option(names).getOrElse(Seq.empty) ++ Option(labels).getOrElse(Seq.empty))
+    all.iterator
+      .map(Text.normalizeName)
+      .flatMap(n => Iterator(n, Text.swapLastFirst(n)))
+      .filter(_.length >= 3)
+      .toVector.distinct.sorted
+  })
+
+  /** Primary query name = first declared name, normalized + swapped —
+    * the strictest rung of the back-off ladder (AllNamesStrategy option 3).
+    */
+  val primaryNameUdf = udf((names: Seq[String]) =>
+    if (names == null || names.isEmpty) ""
+    else Text.swapLastFirst(Text.normalizeName(names.head)))
+
+  /** entity_id, qname (one row per query name of a live entity). */
+  def queryNames(entities: DataFrame): DataFrame =
+    entities
+      .filter(!col("dead")) // P6 dead-entity filter, ProcessDataset.java:192-195
+      .select(col("id").as("entity_id"),
+        explode(queryNamesUdf(col("names"), col("labels"))).as("qname"))
+
+  private def rollup(qnames: DataFrame, dictionary: DataFrame): DataFrame =
+    broadcast(qnames)
+      .join(dictionary, qnames("qname") === dictionary("name"))
+      .groupBy(col("entity_id"), col("account_id"))
+      .agg(sum(col("freq")).as("freq"))
+
+  /** candidates(entity_id, account_id, freq, rank) — rank 1..topK per entity,
+    * tie-break (freq desc, account_id asc) for reproducible P/R (SURVEY §7.3).
+    */
+  def candidates(spark: SparkSession, entities: DataFrame, dictionary: DataFrame,
+      conf: KgConf = KgConf()): DataFrame = {
+    val qn = queryNames(entities)
+    val full = rollup(qn, dictionary)
+
+    // J11 back-off: entities matching too many accounts are re-queried with
+    // only their primary name (two-pass dataflow, no per-row loop).
+    val counts = full.groupBy(col("entity_id"))
+      .agg(count(lit(1)).as("n_cand"))
+    val overmatched = counts.filter(col("n_cand") > conf.backoffThreshold)
+      .select(col("entity_id"))
+
+    val primary = entities.filter(!col("dead"))
+      .select(col("id").as("entity_id"), primaryNameUdf(col("names")).as("qname"))
+      .filter(length(col("qname")) >= 3)
+      .join(broadcast(overmatched), Seq("entity_id"), "left_semi")
+    val narrowed = rollup(primary, dictionary)
+
+    val kept = full.join(broadcast(overmatched), Seq("entity_id"), "left_anti")
+    val unioned = kept.unionByName(narrowed)
+
+    val w = Window.partitionBy(col("entity_id"))
+      .orderBy(col("freq").desc, col("account_id").asc)
+    unioned
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= conf.topK)
+  }
+}

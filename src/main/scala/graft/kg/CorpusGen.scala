@@ -1,0 +1,378 @@
+package graft.kg
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+/** Deterministic, seeded synthesis of the KG-pipeline inputs (no external
+  * data, per BASELINE.json input_hint). Every row is a pure function of
+  * (seed, scale, row index) via a splitmix64 hash, so ANY partitioning or
+  * parallelism yields byte-identical tables — a precondition for the
+  * checkpoint-resume and two-parallelism scaling tests.
+  *
+  * World model (reference analogues in parentheses):
+  *   - `entities`  — KB side (DBpediaResource: names, labels, kind, dead).
+  *   - `accounts`  — alignment targets (twitter4j User: screen_name, name,
+  *                   description, follower counts, verified).
+  *   - `repos`     — the corpus (tweet stream): file contents carry
+  *                   structured author/mention annotations that attach
+  *                   display names to screen names, the way tweets attach
+  *                   names to uids (BuildUserIndex.java:221-269).
+  *   - `gold`      — true alignments (gold.csv, Dataset.java:61-78).
+  *
+  * Planted edge cases (FIXTURES.md §A.6): entities with zero candidates,
+  * dead entities, a celebrity account + mega-repo (skew), name ties and
+  * near-miss decoys, "Last, First" variants, short names, topic suffixes.
+  */
+object CorpusGen {
+
+  final case class Scale(
+      name: String,
+      nEntities: Int,
+      nNoiseAccounts: Int,
+      nFiles: Int,
+      nRepos: Int)
+
+  val Tiny: Scale = Scale("tiny", 60, 30, 400, 12)
+  val Small: Scale = Scale("small", 1500, 800, 12000, 60)
+  val Bench: Scale = Scale("bench", 8000, 4000, 120000, 200)
+  def benchAt(files: Int): Scale =
+    Scale(s"bench$files", 8000, 4000, files, 200)
+
+  val Seed: Long = 42L
+
+  // ---------------------------------------------------------------- hashing
+
+  /** splitmix64 — the standard public-domain mixer; pure + fast. */
+  def mix(x0: Long): Long = {
+    var x = x0 + 0x9e3779b97f4a7c15L
+    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+    x ^ (x >>> 31)
+  }
+  def h(stream: Long, i: Long): Long = mix(mix(Seed ^ stream) ^ i)
+  /** Uniform int in [0, n). */
+  def pick(stream: Long, i: Long, n: Int): Int = {
+    val v = h(stream, i) >>> 11
+    (v % n.toLong).toInt
+  }
+  /** Uniform double in [0, 1). */
+  def unit(stream: Long, i: Long): Double =
+    (h(stream, i) >>> 11).toDouble / (1L << 53).toDouble
+
+  // ---------------------------------------------------------------- pools
+
+  private val firstNames = Vector(
+    "Ada", "Alan", "Barbara", "Brian", "Claude", "Dana", "Dennis", "Donald",
+    "Edsger", "Frances", "Grace", "Hedy", "Ivan", "John", "Karen", "Ken",
+    "Leslie", "Linus", "Margaret", "Marvin", "Niklaus", "Peter", "Radia",
+    "Richard", "Robert", "Rosalind", "Seymour", "Shafi", "Sophie", "Tim",
+    "Tony", "Vint", "Whitfield", "Yukihiro", "Barbara2", "Evelyn", "Kathleen",
+    "Mary", "Noam", "Olga")
+
+  private val lastNames = Vector(
+    "Lovelace", "Turing", "Liskov", "Kernighan", "Shannon", "Scott",
+    "Ritchie", "Knuth", "Dijkstra", "Allen", "Hopper", "Lamarr",
+    "Sutherland", "McCarthy", "Jones", "Thompson", "Lamport", "Torvalds",
+    "Hamilton", "Minsky", "Wirth", "Naur", "Perlman", "Stallman", "Floyd",
+    "Franklin", "Cray", "Goldwasser", "Wilson", "Lee", "Hoare", "Cerf",
+    "Diffie", "Matsumoto", "Boehm", "Berezin", "Booth", "Keller", "Chomsky",
+    "Taussky", "Backus", "Church", "Curry", "Kay", "Milner", "Iverson",
+    "Rivest", "Shamir", "Adleman", "Tarjan", "Karp", "Cook", "Blum",
+    "Hartmanis", "Stearns", "Rabin", "Pnueli", "Engelbart", "Juris", "Valiant")
+
+  private val orgWords = Vector(
+    "Quantum", "Vector", "Tensor", "Lambda", "Kernel", "Cipher", "Matrix",
+    "Neural", "Photon", "Plasma", "Raster", "Scalar", "Socket", "Stream",
+    "Syntax", "Vertex", "Wavelet", "Zenith", "Apex", "Cobalt")
+
+  private val orgSuffixes = Vector("Systems", "Labs", "Works", "Networks", "Dynamics")
+
+  private val topics = Vector("Compilers", "Databases", "Graphics", "Networks",
+    "Robotics", "Security", "Statistics", "Theory")
+
+  /** 12 topic clusters × 12 words — abstracts and descriptions draw from the
+    * SAME cluster for true pairs, different clusters for decoys, which is
+    * what gives the context-cosine feature its signal.
+    */
+  private val topicVocab: Vector[Vector[String]] = Vector(
+    Vector("parser", "lexer", "grammar", "token", "ast", "codegen", "optimizer", "register", "inline", "loop", "ssa", "bytecode"),
+    Vector("index", "btree", "query", "transaction", "shard", "replica", "columnar", "vacuum", "join", "planner", "wal", "snapshot"),
+    Vector("shader", "raster", "polygon", "texture", "render", "vertex", "pixel", "frame", "mesh", "lighting", "raytrace", "buffer"),
+    Vector("packet", "router", "latency", "protocol", "socket", "bandwidth", "congestion", "gateway", "subnet", "firewall", "dns", "tcp"),
+    Vector("actuator", "sensor", "gripper", "kinematics", "slam", "lidar", "servo", "trajectory", "odometry", "gyro", "balance", "motor"),
+    Vector("cipher", "nonce", "entropy", "keypair", "signature", "handshake", "audit", "sandbox", "exploit", "patch", "hash", "vault"),
+    Vector("sample", "variance", "bayesian", "regression", "quantile", "bootstrap", "prior", "posterior", "kernel2", "gradient", "epoch", "loss"),
+    Vector("automata", "lattice", "monoid", "category", "proof", "induction", "complexity", "reduction", "oracle2", "turing2", "decidable", "bound"),
+    Vector("container", "scheduler", "cluster", "autoscale", "deploy", "rollout", "canary", "quota", "node2", "pod", "mesh2", "probe"),
+    Vector("ledger", "payment", "invoice", "settlement", "accrual", "balance2", "audit2", "treasury", "escrow", "clearing", "risk", "margin"),
+    Vector("genome", "protein", "sequence", "alignment2", "variant", "assay", "splice", "codon", "plasmid", "enzyme", "culture", "strain"),
+    Vector("telemetry", "tracing", "metric", "alert", "dashboard", "sampling", "span", "ingest", "retention", "cardinality", "rollup", "sink"))
+
+  private val fillerWords = Vector(
+    "val", "def", "class", "object", "import", "return", "public", "static",
+    "final", "override", "private", "lazy", "match", "case", "trait",
+    "extends", "with", "implicit", "throws", "assert")
+
+  private val langs = Vector("scala", "java", "py", "md")
+  private val exts = Map("scala" -> "scala", "java" -> "java", "py" -> "py", "md" -> "md")
+
+  // ---------------------------------------------------------------- entities
+
+  def topicOf(i: Long): Int = pick(1L, i, topicVocab.size)
+
+  /** Primary display name of entity i (also the true account's name). */
+  def entityName(i: Long): String = {
+    if (isOrg(i)) {
+      val w1 = orgWords(pick(2L, i, orgWords.size))
+      val w2 = orgWords(pick(3L, i, orgWords.size))
+      val sfx = orgSuffixes(pick(4L, i, orgSuffixes.size))
+      s"$w1 $w2 $sfx"
+    } else {
+      val f = firstNames(pick(5L, i, firstNames.size))
+      val l = lastNames(pick(6L, i, lastNames.size))
+      s"$f $l"
+    }
+  }
+
+  def isOrg(i: Long): Boolean = pick(7L, i, 10) < 3
+  def isPerson(i: Long): Boolean = !isOrg(i) && pick(8L, i, 10) < 9 // rest "other"
+  def kindOf(i: Long): String =
+    if (isOrg(i)) "org" else if (isPerson(i)) "per" else "other"
+  def isDead(i: Long): Boolean = pick(9L, i, 100) < 5
+  def hasTopicSuffix(i: Long): Boolean = pick(10L, i, 100) < 10
+  /** 15% of entities have NO true account (abstain expected → FN if picked). */
+  def hasGold(i: Long): Boolean = pick(11L, i, 100) < 85
+
+  /** Entity IRIs are unique (index-disambiguated, the way DBpedia numbers
+    * ambiguous resources) even when display NAMES collide — name collisions
+    * are a planted edge case, id collisions would merge distinct entities.
+    */
+  def entityId(i: Long): String = {
+    val base = "kb:resource/" + entityName(i).replace(' ', '_') + "__" + i
+    if (hasTopicSuffix(i)) base + "_(" + topics(pick(12L, i, topics.size)) + ")" else base
+  }
+
+  def entityNames(i: Long): Seq[String] = {
+    val primary = entityName(i)
+    val b = Vector.newBuilder[String]
+    b += primary
+    if (kindOf(i) == "per") {
+      val parts = primary.split(' ')
+      if (parts.length == 2 && pick(13L, i, 100) < 60)
+        b += s"${parts(1)}, ${parts(0)}" // "Last, First" variant (F14)
+    }
+    if (pick(14L, i, 100) < 20) b += primary.toUpperCase
+    b.result()
+  }
+
+  def entityLabels(i: Long): Seq[String] = Vector(entityName(i))
+
+  def entityAbstract(i: Long): String = {
+    val t = topicOf(i)
+    val vocab = topicVocab(t)
+    val words = (0 until 10).map(k => vocab(pick(15L + k, i, vocab.size)))
+    s"${entityName(i)} is a ${kindOf(i)} known for ${words.mkString(" ")}"
+  }
+
+  def entityRow(i: Long): Entity =
+    Entity(entityId(i), entityNames(i), entityLabels(i), kindOf(i), isDead(i),
+      entityAbstract(i))
+
+  // ---------------------------------------------------------------- accounts
+
+  /** Account index layout for a scale with E entities, N noise accounts:
+    *   [0, E)        true accounts for entities that have gold (others unused slots → still emitted as noise-like)
+    *   [E, 2E)       decoy accounts (same/near name, different topic) for ~50% of entities
+    *   [2E, 2E+N)    pure noise accounts
+    * accountId = 100000 + index.
+    */
+  def accountIdOf(idx: Long): Long = 100000L + idx
+
+  def screenNameOf(idx: Long, scale: Scale): String = {
+    val nm = accountDisplayName(idx, scale).toLowerCase.replace(' ', '_').replace(",", "")
+    s"${nm}_$idx"
+  }
+
+  def accountKindOf(idx: Long, scale: Scale): String = {
+    val e = scale.nEntities
+    if (idx < e) "true" else if (idx < 2L * e) "decoy" else "noise"
+  }
+
+  def accountDisplayName(idx: Long, scale: Scale): String = {
+    val e = scale.nEntities
+    accountKindOf(idx, scale) match {
+      case "true" => entityName(idx)
+      case "decoy" =>
+        val ent = idx - e
+        // half the decoys share the exact entity name (tie → ranking matters),
+        // half are near-misses (1-char perturbation → must NOT match exact dictionary)
+        if (pick(16L, ent, 2) == 0) entityName(ent)
+        else {
+          val nm = entityName(ent)
+          nm.updated(nm.length / 2, 'x')
+        }
+      case _ =>
+        val f = firstNames(pick(17L, idx, firstNames.size))
+        val l = lastNames(pick(18L, idx, lastNames.size))
+        s"$f $l"
+    }
+  }
+
+  def accountTopic(idx: Long, scale: Scale): Int = {
+    val e = scale.nEntities
+    accountKindOf(idx, scale) match {
+      case "true" => topicOf(idx)
+      case "decoy" => (topicOf(idx - e) + 1 + pick(19L, idx, topicVocab.size - 1)) % topicVocab.size
+      case _ => pick(20L, idx, topicVocab.size)
+    }
+  }
+
+  def accountDescription(idx: Long, scale: Scale): String = {
+    val vocab = topicVocab(accountTopic(idx, scale))
+    val words = (0 until 8).map(k => vocab(pick(21L + k, idx, vocab.size)))
+    s"working on ${words.mkString(" ")}"
+  }
+
+  def accountRow(idx: Long, scale: Scale): Account = {
+    val base = unit(22L, idx)
+    // long-tailed popularity; celebrity account idx==0 is boosted (skew case)
+    val followers0 = math.pow(10.0, 1.0 + 4.0 * base * base).toInt
+    val followers = if (idx == 0) 5000000 else followers0
+    val isTrue = accountKindOf(idx, scale) == "true"
+    Account(
+      accountIdOf(idx),
+      screenNameOf(idx, scale),
+      accountDisplayName(idx, scale),
+      accountDescription(idx, scale),
+      followers,
+      math.max(1, (followers * unit(23L, idx)).toInt),
+      (followers * 0.01 * unit(24L, idx)).toInt,
+      1 + (3000 * unit(25L, idx)).toInt,
+      isTrue && unit(26L, idx) < 0.3)
+  }
+
+  def nAccounts(scale: Scale): Long = 2L * scale.nEntities + scale.nNoiseAccounts
+
+  /** Whether a decoy account exists for entity i (≈50%). */
+  def hasDecoy(i: Long): Boolean = pick(27L, i, 2) == 0
+
+  /** Account indices that may be mentioned in corpus files: true accounts of
+    * gold entities, existing decoys, and noise accounts.
+    */
+  def mentionableAccount(scale: Scale, stream: Long, fileId: Long): Long = {
+    val e = scale.nEntities
+    // celebrity skew: 8% of all mentions hit account 0
+    if (pick(28L + stream, fileId, 100) < 8) 0L
+    else {
+      val r = pick(29L + stream, fileId, 100)
+      if (r < 55) { // a true account
+        var ent = pick(30L + stream, fileId, e).toLong
+        if (!hasGold(ent)) ent = (ent * 7 + 1) % e // still fine: dictionary evidence exists regardless of gold
+        ent
+      } else if (r < 75) { // a decoy account (only where one exists)
+        val ent = pick(31L + stream, fileId, e).toLong
+        if (hasDecoy(ent)) e + ent else (2L * e) + pick(32L + stream, fileId, scale.nNoiseAccounts)
+      } else {
+        (2L * e) + pick(33L + stream, fileId, scale.nNoiseAccounts)
+      }
+    }
+  }
+
+  // ---------------------------------------------------------------- gold
+
+  def goldRow(i: Long): GoldRow =
+    GoldRow(entityId(i), if (hasGold(i)) accountIdOf(i) else -1L)
+
+  // ---------------------------------------------------------------- corpus
+
+  /** Zipf-ish repo assignment: repo 0 is the mega-repo (skew case). */
+  def repoOf(scale: Scale, fileId: Long): Int = {
+    val u = unit(34L, fileId)
+    (u * u * u * scale.nRepos).toInt.min(scale.nRepos - 1)
+  }
+
+  def repoName(r: Int): String = s"org${r % 7}/proj$r"
+
+  def langOf(fileId: Long): String = langs(pick(35L, fileId, langs.size))
+
+  def commitOf(fileId: Long): String = {
+    val a = h(36L, fileId); val b = h(37L, fileId); val c = (h(38L, fileId) >>> 32).toInt
+    f"$a%016x$b%016x$c%08x"
+  }
+
+  def pathOf(scale: Scale, fileId: Long): String = {
+    val lang = langOf(fileId)
+    s"src/${lang}/pkg${pick(39L, fileId, 9)}/File$fileId.${exts(lang)}"
+  }
+
+  /** File content. Grammar (deterministic per fileId):
+    *   line 1: author annotation  `// @author <screen> (<Display Name>)`
+    *   0..3:   mention annotations `// @mention <screen> (<Display Name>)`
+    *   1 decoy plain-text near-miss name (no annotation — must be ignored)
+    *   8..24 filler lines mixing the author's topic vocabulary + code tokens
+    * The annotation carries BOTH screen name and display name, the way a
+    * tweet's user/mention objects carry uid+name (BuildUserIndex.java:221-269).
+    */
+  def contentOf(scale: Scale, fileId: Long): String = {
+    val sb = new StringBuilder(1024)
+    val author = mentionableAccount(scale, 0L, fileId)
+    sb.append("// @author ").append(screenNameOf(author, scale))
+      .append(" (").append(accountDisplayName(author, scale)).append(")\n")
+    val nMentions = pick(40L, fileId, 4)
+    var k = 0
+    while (k < nMentions) {
+      val m = mentionableAccount(scale, 41L + k, fileId)
+      sb.append("// @mention ").append(screenNameOf(m, scale))
+        .append(" (").append(accountDisplayName(m, scale)).append(")\n")
+      k += 1
+    }
+    if (pick(42L, fileId, 3) == 0) {
+      // plain-text near-miss: a real-looking name with NO annotation
+      val ent = pick(43L, fileId, scale.nEntities).toLong
+      sb.append("// thanks to ").append(entityName(ent)).append(" for the idea\n")
+    }
+    val vocab = topicVocab(accountTopic(author, scale))
+    val nLines = 8 + pick(44L, fileId, 17)
+    var ln = 0
+    while (ln < nLines) {
+      val nw = 4 + pick(45L + ln, fileId, 6)
+      var w = 0
+      while (w < nw) {
+        val word =
+          if (pick(100L + ln * 31 + w, fileId, 3) == 0) vocab(pick(200L + ln * 31 + w, fileId, vocab.size))
+          else fillerWords(pick(300L + ln * 31 + w, fileId, fillerWords.size))
+        sb.append(word).append(if (w == nw - 1) "" else " ")
+        w += 1
+      }
+      sb.append('\n')
+      ln += 1
+    }
+    sb.toString
+  }
+
+  def repoFileRow(scale: Scale, fileId: Long): RepoFile =
+    RepoFile(repoName(repoOf(scale, fileId)), pathOf(scale, fileId),
+      commitOf(fileId), langOf(fileId), contentOf(scale, fileId))
+
+  // ---------------------------------------------------------------- datasets
+
+  def repos(spark: SparkSession, scale: Scale): Dataset[RepoFile] = {
+    import spark.implicits._
+    spark.range(0L, scale.nFiles.toLong, 1L, spark.sparkContext.defaultParallelism)
+      .map(i => repoFileRow(scale, i))
+  }
+
+  def entities(spark: SparkSession, scale: Scale): Dataset[Entity] = {
+    import spark.implicits._
+    spark.range(0L, scale.nEntities.toLong).map(i => entityRow(i))
+  }
+
+  def accounts(spark: SparkSession, scale: Scale): Dataset[Account] = {
+    import spark.implicits._
+    spark.range(0L, nAccounts(scale)).map(i => accountRow(i, scale))
+  }
+
+  def gold(spark: SparkSession, scale: Scale): Dataset[GoldRow] = {
+    import spark.implicits._
+    spark.range(0L, scale.nEntities.toLong).map(i => goldRow(i))
+  }
+}

@@ -1,0 +1,49 @@
+package graft.kg
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Stage 2: the name→account dictionary with mention frequencies.
+  *
+  * Reference analogue: user_index(fullname, uid, freq) built by
+  * BuildUserIndex.java:104-110 (groupBy(name, uid).sum(freq)); the
+  * normalization applied to names mirrors prepareString
+  * (BuildUserIndex.java:271-297) + lowercase.
+  *
+  * Scale notes: this is a groupBy over the (huge) mention stream — Catalyst
+  * plans it as partial + final HashAggregate, so the shuffle carries only
+  * pre-combined (name, account_id) partials. The screen_name→account_id
+  * resolution joins the mention stream against the (comparatively tiny)
+  * accounts dim — broadcast it explicitly.
+  */
+object Dictionary {
+
+  val normalizeNameUdf =
+    udf((s: String) => Text.normalizeName(s))
+
+  /** dictionary(name, account_id, freq) */
+  def build(spark: SparkSession, mentions: DataFrame, accounts: DataFrame): DataFrame = {
+    val accs = accounts.select(col("screenName").as("screen_name"),
+      col("accountId").as("account_id"))
+    mentions
+      .join(broadcast(accs), Seq("screen_name"), "inner")
+      .select(normalizeNameUdf(col("display_name")).as("name"), col("account_id"))
+      .filter(length(col("name")) >= 3) // AllNamesStrategy.java:75 exclusion
+      .groupBy(col("name"), col("account_id"))
+      .agg(count(lit(1)).as("freq"))
+  }
+
+  /** Per-account corpus text (A3 analogue, BuildUserIndex.java:113-123):
+    * authored file contents concatenated, sort_array'd for determinism
+    * (the reference's concat order is nondeterministic — SURVEY §2.4 A3).
+    */
+  def accountText(mentions: DataFrame, repos: DataFrame): DataFrame = {
+    val authored = mentions.filter(col("kind") === "author")
+      .select(col("repo"), col("path"), col("commit"), col("screen_name"))
+    authored
+      .join(repos.select(col("repo"), col("path"), col("commit"), col("content")),
+        Seq("repo", "path", "commit"))
+      .groupBy(col("screen_name"))
+      .agg(concat_ws("\n", sort_array(collect_list(col("content")))).as("text"))
+  }
+}

@@ -1,0 +1,101 @@
+package graft.kg
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** End-to-end orchestration of the KG-construction pipeline:
+  *
+  *   corpus (repo,path,commit,lang,content)
+  *     → mentions        (regexp extraction, sha256 invariant attached)
+  *     → dictionary      (name→account freq)          [shuffle 1: groupBy]
+  *     → candidates      (broadcast join + top-K)     [shuffle 2: rollup+window]
+  *     → alignments      (features + logistic score + margin argmax)
+  *     → representatives (connected components)
+  *     → triples         (8-pattern materialization, pred-partitioned)
+  *     → lineage         (sha256(content) set, per-partition metrics)
+  *
+  * Two run modes:
+  *   - `triplesForScale` — all in memory, used by SparkEntry.entry and tests.
+  *   - `run(root)`       — every stage materialized + checkpointed; re-runs
+  *                         resume from the first incomplete stage (north rule).
+  */
+object Pipeline {
+
+  final case class Result(
+      triples: DataFrame,
+      alignments: DataFrame,
+      lineage: DataFrame)
+
+  def sessionConf(spark: SparkSession): Unit = {
+    // AQE handles runtime coalescing + skew-join splitting (SURVEY §2.9 X4)
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+  }
+
+  def compute(spark: SparkSession, repos: DataFrame, entities: DataFrame,
+      accounts: DataFrame, conf: KgConf = KgConf()): Result = {
+    sessionConf(spark)
+    val mentions = Mentions.extract(repos)
+    // mentions feeds the dictionary, the lineage roll-up, and (via authored
+    // text) nothing else at this stage — cache the narrow projection once.
+    val dict = Dictionary.build(spark, mentions, accounts)
+    val cands = CandidateGen.candidates(spark, entities, dict, conf)
+    val aligned = Scorer.score(cands, entities, accounts, conf)
+    val reps = Canonicalize.representatives(spark, aligned, conf)
+    val triples = Triples.materialize(aligned, reps)
+    val lineage = mentions
+      .select(col("repo"), col("path"), col("commit"), col("content_sha"))
+      .distinct()
+    Result(triples, aligned, lineage)
+  }
+
+  def triplesForScale(spark: SparkSession, scale: CorpusGen.Scale,
+      conf: KgConf = KgConf()): DataFrame = {
+    val repos = CorpusGen.repos(spark, scale).toDF()
+    val entities = CorpusGen.entities(spark, scale).toDF()
+    val accounts = CorpusGen.accounts(spark, scale).toDF()
+    compute(spark, repos, entities, accounts, conf).triples
+  }
+
+  /** Materialized, checkpointed, resumable run. Every stage is skipped when
+    * its `_SUCCESS` marker exists, so a killed run resumes where it stopped
+    * and produces byte-identical outputs (deterministic inputs + explicit
+    * total-order tie-breaks everywhere).
+    */
+  def run(spark: SparkSession, scale: CorpusGen.Scale, root: String,
+      conf: KgConf = KgConf()): Result = {
+    sessionConf(spark)
+    val repos = Checkpoint.stage(spark, root, "corpus") {
+      CorpusGen.repos(spark, scale).toDF()
+    }
+    val entities = Checkpoint.stage(spark, root, "entities") {
+      CorpusGen.entities(spark, scale).toDF()
+    }
+    val accounts = Checkpoint.stage(spark, root, "accounts") {
+      CorpusGen.accounts(spark, scale).toDF()
+    }
+    val mentions = Checkpoint.stage(spark, root, "mentions") {
+      Mentions.extract(repos)
+    }
+    val dict = Checkpoint.stage(spark, root, "dictionary") {
+      Dictionary.build(spark, mentions, accounts)
+    }
+    val cands = Checkpoint.stage(spark, root, "candidates") {
+      CandidateGen.candidates(spark, entities, dict, conf)
+    }
+    val aligned = Checkpoint.stage(spark, root, "alignments") {
+      Scorer.score(cands, entities, accounts, conf)
+    }
+    val reps = Checkpoint.stage(spark, root, "representatives") {
+      Canonicalize.representatives(spark, aligned, conf)
+    }
+    val triples = Checkpoint.stage(spark, root, "triples", Seq("pred")) {
+      Triples.materialize(aligned, reps)
+    }
+    val lineage = Checkpoint.stage(spark, root, "lineage") {
+      mentions.select(col("repo"), col("path"), col("commit"), col("content_sha"))
+        .distinct()
+    }
+    Result(triples, aligned, lineage)
+  }
+}

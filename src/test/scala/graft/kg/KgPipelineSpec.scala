@@ -1,0 +1,76 @@
+package graft.kg
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The pipeline-level correctness gate (SURVEY §5): the Spark pipeline's
+  * (subj, pred, obj) set must match the single-threaded scalar oracle —
+  * EXACTLY at tiny scale (shared scalar functions + mirrored arithmetic),
+  * and at P/R ≥ 0.95 (the BASELINE.json bar) at small scale.
+  */
+class KgPipelineSpec extends AnyFunSuite with SparkTestBase {
+
+  private def sparkTriples(scale: CorpusGen.Scale): Set[Triple] = {
+    import spark.implicits._
+    Pipeline.triplesForScale(spark, scale).as[Triple].collect().toSet
+  }
+
+  private def pr(got: Set[Triple], want: Set[Triple]): (Double, Double) = {
+    val tp = (got intersect want).size.toDouble
+    (tp / math.max(got.size, 1), tp / math.max(want.size, 1))
+  }
+
+  test("tiny scale: exact triple-set equality vs scalar oracle") {
+    val got = sparkTriples(CorpusGen.Tiny)
+    val (want, _) = ScalarOracle.run(CorpusGen.Tiny)
+    val missing = want -- got
+    val extra = got -- want
+    assert(missing.isEmpty && extra.isEmpty,
+      s"missing=${missing.take(5)} extra=${extra.take(5)} " +
+        s"(|got|=${got.size} |want|=${want.size})")
+  }
+
+  test("small scale: P/R >= 0.95 vs scalar oracle (BASELINE.json bar)") {
+    val got = sparkTriples(CorpusGen.Small)
+    val (want, _) = ScalarOracle.run(CorpusGen.Small)
+    val (p, r) = pr(got, want)
+    assert(p >= 0.95 && r >= 0.95, s"P=$p R=$r |got|=${got.size} |want|=${want.size}")
+    // shared scalar functions + mirrored arithmetic make it exact, not just ≥0.95
+    assert(got == want, s"expected bit-exact match, got P=$p R=$r")
+  }
+
+  test("gold evaluation: selection quality is high on the planted corpus") {
+    val scale = CorpusGen.Tiny
+    val r = Pipeline.compute(spark,
+      CorpusGen.repos(spark, scale).toDF(),
+      CorpusGen.entities(spark, scale).toDF(),
+      CorpusGen.accounts(spark, scale).toDF())
+    val row = Scorer.evaluate(r.alignments, CorpusGen.gold(spark, scale).toDF())
+      .collect()(0)
+    val (p, rec) = (row.getAs[Double]("precision"), row.getAs[Double]("recall"))
+    assert(p >= 0.7 && rec >= 0.5, s"gold P=$p R=$rec (tune KgConf weights)")
+  }
+
+  test("lineage preserves the sha256(content) set of the source (input_hint)") {
+    val scale = CorpusGen.Tiny
+    val repos = CorpusGen.repos(spark, scale).toDF()
+    val src = repos.select(sha2(col("content"), 256).as("sha"))
+      .distinct().collect().map(_.getString(0)).toSet
+    val lineage = Pipeline.compute(spark, repos,
+      CorpusGen.entities(spark, scale).toDF(),
+      CorpusGen.accounts(spark, scale).toDF()).lineage
+    val got = lineage.select(col("content_sha")).distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(got == src, s"lineage sha set mismatch: |got|=${got.size} |src|=${src.size}")
+  }
+
+  test("corpus generation is partitioning-invariant") {
+    import spark.implicits._
+    val a = CorpusGen.repos(spark, CorpusGen.Tiny).collect().sortBy(r => (r.repo, r.path))
+    val b = spark.range(0L, CorpusGen.Tiny.nFiles.toLong, 1L, 3)
+      .map(i => CorpusGen.repoFileRow(CorpusGen.Tiny, i))
+      .collect().sortBy(r => (r.repo, r.path))
+    assert(a.toSeq == b.toSeq)
+  }
+}
