@@ -45,22 +45,23 @@ object OpsQueries {
   val annBruteTopk: Q = (s, dir) => {
     val e = embs(s, dir)
     Similarity.bruteForceTopK(e, queriesOf(e), k = 10)
+      .withColumn("rnk", col("rnk").cast("long"))
       .orderBy(col("query_id"), col("rnk"))
   }
 
   /** DuckDB's list_cosine_similarity verifies the exact top-k path. */
   val annBruteTopkSql: String =
-    """SELECT query_id, vec_id, round(cos, 4) AS cos, rnk FROM (
+    """SELECT query_id, vec_id, CAST(round(cos, 4) AS DOUBLE) AS cos, rnk FROM (
       |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
-      |    list_cosine_similarity(q.embedding, c.embedding) AS cos,
+      |    list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS cos,
       |    row_number() OVER (PARTITION BY q.vec_id
-      |      ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id ASC) AS rnk
+      |      ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC, c.vec_id ASC) AS rnk
       |  FROM embeddings q, embeddings c WHERE q.vec_id < 5)
       |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin
 
   val annIvfTopk: Q = (s, dir) => {
     val e = embs(s, dir)
-    Similarity.ivfTopK(e, queriesOf(e), k = 10)
+    Similarity.ivfTopK(e, queriesOf(e), k = 10, nCells = 16, nProbe = 4, dim = 64)
       .orderBy(col("query_id"), col("rnk"))
   }
 
@@ -83,8 +84,30 @@ object OpsQueries {
       |  round(len(list_intersect(list_distinct(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')), ['the','and','of','to','in','is','that','with','for','was']))::DOUBLE / 10.0, 4) AS stopword_cov
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  val textLangidSql: String = {
+    def hits(l: String): String = {
+      val words = TextAnalysis.stopwords(l).map(w => s"'$w'").mkString(",")
+      s"len(list_intersect(list_distinct(list_filter(regexp_split_to_array(lower(text), '[^\\p{L}0-9]+'), x -> x <> '')), [$words]))"
+    }
+    s"""SELECT doc_id, CASE
+       |  WHEN ${hits("de")} = 0 AND ${hits("en")} = 0 AND ${hits("es")} = 0 AND ${hits("fr")} = 0 THEN 'unknown'
+       |  WHEN ${hits("de")} >= ${hits("en")} AND ${hits("de")} >= ${hits("es")} AND ${hits("de")} >= ${hits("fr")} THEN 'de'
+       |  WHEN ${hits("en")} >= ${hits("de")} AND ${hits("en")} >= ${hits("es")} AND ${hits("en")} >= ${hits("fr")} THEN 'en'
+       |  WHEN ${hits("es")} >= ${hits("de")} AND ${hits("es")} >= ${hits("en")} AND ${hits("es")} >= ${hits("fr")} THEN 'es'
+       |  ELSE 'fr' END AS lang_detected
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
   val textTokens: Q = (s, dir) =>
     TextAnalysis.tokenCounts(docs(s, dir)).orderBy(col("doc_id"))
+
+  val textTokensSql: String =
+    """SELECT doc_id,
+      |  len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS n_ws_tokens,
+      |  CAST(coalesce(list_sum(list_transform(
+      |    list_filter(regexp_split_to_array(lower(text), '[^\p{L}0-9]+'), x -> x <> ''),
+      |    x -> CAST(ceil(length(x) / 4.0) AS BIGINT))), 0) AS BIGINT) AS n_bpe_est
+      |FROM documents ORDER BY doc_id""".stripMargin
 
   val textFingerprint: Q = (s, dir) =>
     TextAnalysis.fingerprints(docs(s, dir)).orderBy(col("doc_id"))
@@ -115,5 +138,7 @@ object OpsQueries {
     "dedup_exact" -> dedupExactSql,
     "ann_brute_topk" -> annBruteTopkSql,
     "text_quality" -> textQualitySql,
+    "text_langid" -> textLangidSql,
+    "text_tokens" -> textTokensSql,
   )
 }

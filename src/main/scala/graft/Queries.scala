@@ -163,16 +163,17 @@ object Queries {
       |WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 100000)
       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
-  /** P7-complement / anti join. */
+  /** P7-complement / anti join: customers with no high-value order. */
   val j5AntiJoin: Q = (s, dir) =>
     t(s, dir, "customer")
-      .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(t(s, dir, "orders").filter(col("o_totalprice") > 250000),
+        col("c_custkey") === col("o_custkey"), "left_anti")
       .select(col("c_custkey"), col("c_name"))
       .orderBy(col("c_custkey"))
 
   val j5AntiJoinSql: String =
     """SELECT c_custkey, c_name FROM customer
-      |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+      |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 250000)
       |ORDER BY c_custkey""".stripMargin
 
   /** J6: case-insensitive value join (gold labeling). */
@@ -201,7 +202,7 @@ object Queries {
     t(s, dir, "orders")
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 3)
-      .select(col("o_custkey"), col("o_orderkey"), col("rnk"))
+      .select(col("o_custkey"), col("o_orderkey"), col("rnk").cast("long").as("rnk"))
       .orderBy(col("o_custkey"), col("rnk"))
   }
 
@@ -265,12 +266,27 @@ object Queries {
   /** F3: levenshtein distance (built-in both sides). */
   val f3Levenshtein: Q = (s, dir) =>
     t(s, dir, "nation")
-      .select(col("n_name"), levenshtein(col("n_name"), lit("ARGENTINA")).as("dist"))
+      .select(col("n_name"), levenshtein(col("n_name"), lit("ARGENTINA")).cast("long").as("dist"))
       .orderBy(col("n_name"))
 
   val f3LevenshteinSql: String =
     """SELECT n_name, levenshtein(n_name, 'ARGENTINA') AS dist
       |FROM nation ORDER BY n_name""".stripMargin
+
+  /** F4: Jaro-Winkler via the custom codegen Catalyst expression
+    * (graft.functions.JaroWinklerExpr) — DuckDB's jaro_winkler_similarity
+    * uses the same textbook formulation (0.7 boost threshold, p=0.1).
+    */
+  val f4JaroWinkler: Q = (s, dir) =>
+    t(s, dir, "customer")
+      .select(col("c_custkey"),
+        round(graft.functions.JaroWinkler.jaroWinkler(col("c_name"),
+          lit("Customer#000000010")), 4).as("jw"))
+      .orderBy(col("c_custkey"))
+
+  val f4JaroWinklerSql: String =
+    """SELECT c_custkey, round(jaro_winkler_similarity(c_name, 'Customer#000000010'), 4) AS jw
+      |FROM customer ORDER BY c_custkey""".stripMargin
 
   /** F6: 0-guarded log-scaled count features. */
   val f6LogFeatures: Q = (s, dir) =>
@@ -312,13 +328,40 @@ object Queries {
     t(s, dir, "events")
       .select(col("event_id"),
         least(datediff(lit("2026-01-01").cast("date"), col("ts").cast("date")),
-          lit(100)).as("days_capped"))
+          lit(100)).cast("long").as("days_capped"))
       .orderBy(col("event_id"))
 
   val f9RecencySql: String =
     """SELECT event_id,
       |  least(datediff('day', CAST(ts AS DATE), DATE '2026-01-01'), 100) AS days_capped
       |FROM events ORDER BY event_id""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Streaming-flavored (SURVEY §2.10)
+  // ------------------------------------------------------------------
+
+  /** T2-analogue: tumbling 1-day event-time windows (batch form; the
+    * streaming form with watermark is exercised in EventStreamSpec).
+    */
+  val t2WindowedAgg: Q = (s, dir) =>
+    t(s, dir, "events")
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("total"))
+      .select(col("window.start").as("w_start"), col("event_type"),
+        col("n"), col("total"))
+      .orderBy(col("w_start"), col("event_type"))
+
+  val t2WindowedAggSql: String =
+    """SELECT date_trunc('day', ts) AS w_start, event_type,
+      |  count(*) AS n, round(sum(value), 4) AS total
+      |FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin
+
+  /** True Structured Streaming run (memory sink, Complete mode) — rows-only. */
+  val streamWindowedCounts: Q = (s, dir) =>
+    graft.streaming.EventStream.runFileStream(s, dir,
+      df => graft.streaming.EventStream.windowedCounts(df),
+      org.apache.spark.sql.streaming.OutputMode.Complete(),
+      s"stream_q_${System.nanoTime()}")
 
   // ------------------------------------------------------------------
   // registry
@@ -341,10 +384,13 @@ object Queries {
     "o1_top_n" -> o1TopN,
     "f1_normalize" -> f1Normalize,
     "f3_levenshtein" -> f3Levenshtein,
+    "f4_jaro_winkler" -> f4JaroWinkler,
     "f6_log_features" -> f6LogFeatures,
     "f13_regex_clean" -> f13RegexClean,
     "f21_sha256" -> f21Sha256,
     "f9_recency" -> f9Recency,
+    "t2_windowed_agg" -> t2WindowedAgg,
+    "stream_windowed_counts" -> streamWindowedCounts,
   ) ++ OpsQueries.all ++ KgQueries.all
 
   def oracles: Map[String, String] = Map(
@@ -363,9 +409,11 @@ object Queries {
     "o1_top_n" -> o1TopNSql,
     "f1_normalize" -> f1NormalizeSql,
     "f3_levenshtein" -> f3LevenshteinSql,
+    "f4_jaro_winkler" -> f4JaroWinklerSql,
     "f6_log_features" -> f6LogFeaturesSql,
     "f13_regex_clean" -> f13RegexCleanSql,
     "f21_sha256" -> f21Sha256Sql,
     "f9_recency" -> f9RecencySql,
+    "t2_windowed_agg" -> t2WindowedAggSql,
   ) ++ OpsQueries.oracles ++ KgQueries.oracles
 }

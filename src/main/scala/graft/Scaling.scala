@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import graft.kg.{CorpusGen, Pipeline}
+
+/** Scaling-efficiency evidence (north rule: ≥0.8 between N and 4N).
+  *
+  * No real cluster exists in this sandbox, so per the driver instruction the
+  * same KG pipeline runs at local[8] and local[32] on the IDENTICAL corpus;
+  * efficiency = (T₈ / T₃₂) / 4. Each configuration gets a fresh
+  * SparkSession (previous one stopped) with shuffle partitions = cores.
+  *
+  * Usage: sbt "runMain graft.Scaling [nFiles]" — appends a row to
+  * BENCH/BASELINE.md and prints one JSON line.
+  */
+object Scaling {
+
+  def session(cores: Int): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(s"graft-scaling-$cores")
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** One full pipeline run; returns (wallSec, nTriples). */
+  def runOnce(cores: Int, scale: CorpusGen.Scale): (Double, Long) = {
+    val spark = session(cores)
+    try {
+      val t0 = System.nanoTime()
+      val n = Pipeline.triplesForScale(spark, scale).count()
+      ((System.nanoTime() - t0) / 1e9, n)
+    } finally spark.stop()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val nFiles = args.headOption.map(_.toInt).getOrElse(120000)
+    val scale = CorpusGen.benchAt(nFiles)
+    // warm-up at 32 (JIT + code cache), then measured runs
+    runOnce(32, CorpusGen.Small)
+    val (t32, n32) = runOnce(32, scale)
+    val (t8, n8) = runOnce(8, scale)
+    require(n8 == n32, s"nondeterministic across parallelism: $n8 vs $n32")
+    val eff = (t8 / t32) / 4.0
+    val filesPerSec8 = nFiles / t8
+    val filesPerSec32 = nFiles / t32
+    val triplesPerSec32 = n32 / t32
+    val md =
+      f"""| $nFiles files / $n32%d triples | local[8]: $t8%.1f s (${filesPerSec8}%.0f files/s) | local[32]: $t32%.1f s (${filesPerSec32}%.0f files/s, ${triplesPerSec32}%.0f triples/s) | efficiency (T8/T32)/4 = $eff%.2f |"""
+    val p = java.nio.file.Paths.get("BENCH")
+    java.nio.file.Files.createDirectories(p)
+    val f = p.resolve("BASELINE.md")
+    val header =
+      """# BENCH — KG pipeline scaling evidence (local[8] vs local[32])
+        |
+        |Same deterministic corpus, same job, two parallelism levels
+        |(sandbox stand-in for N vs 4N executors — driver instruction).
+        |Efficiency target ≥ 0.8.
+        |
+        || corpus | N=8 | 4N=32 | efficiency |
+        ||---|---|---|---|
+        |""".stripMargin
+    if (!java.nio.file.Files.exists(f)) java.nio.file.Files.writeString(f, header)
+    java.nio.file.Files.writeString(f, md + "\n",
+      java.nio.file.StandardOpenOption.APPEND)
+    println(s"""{"metric":"scaling_efficiency","value":$eff,"unit":"ratio","t8":$t8,"t32":$t32,"n_files":$nFiles,"n_triples":$n32}""")
+  }
+}

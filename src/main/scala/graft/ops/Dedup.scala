@@ -85,11 +85,12 @@ object Dedup {
 
   // ---------------------------------------------------------------- simhash
 
-  /** 64-bit SimHash over tokens (weighted bit-vote). One scalar UDF. */
-  val simhashUdf = udf((tokens: Seq[String]) => {
+  /** 64-bit SimHash over tokens (weighted bit-vote). Scalar core shared
+    * with tests; splitmix64 of the token's FNV-1a — stable across JVMs.
+    */
+  def simhashScalar(tokens: Seq[String]): Long = {
     val votes = new Array[Int](64)
     if (tokens != null) tokens.foreach { t =>
-      // splitmix64 of the token's 64-bit FNV-1a — stable across JVMs
       var h = 0xcbf29ce484222325L
       var i = 0
       while (i < t.length) { h ^= t.charAt(i).toLong; h *= 0x100000001b3L; i += 1 }
@@ -101,7 +102,9 @@ object Dedup {
     var b = 0
     while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
     out
-  })
+  }
+
+  val simhashUdf = udf((tokens: Seq[String]) => simhashScalar(tokens))
 
   /** Near-dups by SimHash: band the 64 bits into 4×16-bit keys (any pair
     * within Hamming distance 3 shares ≥1 exact band), verify with
@@ -158,27 +161,39 @@ object Dedup {
 
   // ---------------------------------------------------------------- embedding
 
-  /** Embedding-cosine near-dup over embeddings(vec_id, embedding), bucketed
-    * by random-hyperplane signs (sign bits of dot(v, h_i) for fixed pseudo-
-    * random hyperplanes) so only same-bucket pairs are compared; cosine ≥
-    * threshold verified exactly with zip_with + aggregate built-ins.
+  /** Embedding-cosine near-dup over embeddings(vec_id, embedding): standard
+    * multi-table random-hyperplane LSH — `tables` independent hash tables of
+    * `planes` sign bits each; a pair is a candidate if it collides in ANY
+    * table (OR-amplification lifts recall at moderate cosine); candidates
+    * verified exactly with zip_with/aggregate cosine ≥ threshold.
+    *
+    * At scale: each vector emits `tables` (table_id, bits) keys; the only
+    * shuffle is the bucket self-join, whose fan-out is controlled by
+    * `planes` (bigger = smaller buckets).
     */
-  def embeddingNearDups(embs: DataFrame, dim: Int = 32, planes: Int = 8,
-      threshold: Double = 0.95): DataFrame = {
-    val sigBits = (0 until planes).map { p =>
-      // deterministic hyperplane h_p[j] in [-1,1) from splitmix64(p, j)
-      val dot = aggregate(
-        zip_with(col("embedding"), planeCol(p, dim), (x, h) => x * h),
-        lit(0.0), (acc, v) => acc + v)
-      when(dot >= 0, lit(1L << p)).otherwise(lit(0L))
-    }
-    val keyed = embs.withColumn("bucket", sigBits.reduce((a, b) => a + b))
+  def embeddingNearDups(embs: DataFrame, dim: Int = 64, planes: Int = 4,
+      tables: Int = 8, threshold: Double = 0.35): DataFrame = {
+    def bucketBits(tbl: Int): Column =
+      (0 until planes).map { p =>
+        val dot = aggregate(
+          zip_with(col("embedding"), planeCol(tbl * planes + p, dim),
+            (x, h) => x.cast("double") * h),
+          lit(0.0), (acc, v) => acc + v)
+        when(dot >= 0, lit(1L << p)).otherwise(lit(0L))
+      }.reduce((a, b) => a + b)
+    val keyed = embs.select(col("vec_id"), col("embedding"),
+      explode(array((0 until tables).map(tb =>
+        struct(lit(tb).as("table_id"), bucketBits(tb).as("bits"))): _*)).as("b"))
+      .select(col("vec_id"), col("embedding"), col("b.table_id"), col("b.bits"))
     keyed.alias("l").join(keyed.alias("r"),
-        col("l.bucket") === col("r.bucket") && col("l.vec_id") < col("r.vec_id"))
-      .withColumn("cos", Similarity.cosineCol(col("l.embedding"), col("r.embedding")))
-      .filter(col("cos") >= threshold)
+        col("l.table_id") === col("r.table_id") && col("l.bits") === col("r.bits") &&
+          col("l.vec_id") < col("r.vec_id"))
       .select(col("l.vec_id").as("vec_a"), col("r.vec_id").as("vec_b"),
-        round(col("cos"), 4).as("cos"))
+        col("l.embedding").as("emb_a"), col("r.embedding").as("emb_b"))
+      .dropDuplicates("vec_a", "vec_b")
+      .withColumn("cos", Similarity.cosineCol(col("emb_a"), col("emb_b")))
+      .filter(col("cos") >= threshold)
+      .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cos"))
   }
 
   /** Fixed pseudo-random hyperplane as an array literal column. */

@@ -26,15 +26,22 @@ object TextAnalysis {
     size(array_intersect(array_distinct(tokens),
       array(stopwords(lang).map(lit): _*)))
 
-  /** Detected language = argmax of stopword hits ("und" ∈ unknown when all 0). */
+  /** Detected language = argmax of stopword hits; ties break alphabetically
+    * first; zero hits everywhere → "unknown". Explicit CASE chain so the
+    * DuckDB oracle can mirror it exactly.
+    */
   def langIdCol(text: Column): Column = {
-    val toks = tokensCol(text)
-    val scores = stopwords.keys.toSeq.sorted.map(l =>
-      struct(hitCount(toks, l).as("hits"), lit(l).as("lang")))
-    // argmax with deterministic tie-break: higher hits win, then later
-    // lang alphabetically (struct max) — mirror in any oracle
-    val best = array_max(array(scores: _*))
-    when(best.getField("hits") === 0, lit("unknown")).otherwise(best.getField("lang"))
+    val toks = array_distinct(tokensCol(text))
+    val langs = stopwords.keys.toSeq.sorted // de, en, es, fr
+    val hits = langs.map(l => l -> hitCount(toks, l)).toMap
+    val allZero = langs.map(hits).reduce((a, b) => a + b) === 0
+    // first lang (alphabetical order) whose hits >= all others wins the tie
+    val winner = langs.foldRight(lit("unknown")) { case (l, els) =>
+      val cond = langs.filter(_ != l).map(e => hits(l) >= hits(e))
+        .reduce((a, b) => a && b)
+      when(cond, lit(l)).otherwise(els)
+    }
+    when(allZero, lit("unknown")).otherwise(winner)
   }
 
   def langId(docs: DataFrame): DataFrame =
@@ -55,8 +62,8 @@ object TextAnalysis {
     val enHits = hitCount(toks, "en")
     docs.select(
       col("doc_id"),
-      nChars.as("n_chars"),
-      nTokens.as("n_tokens"),
+      nChars.cast("long").as("n_chars"),
+      nTokens.cast("long").as("n_tokens"),
       round(nChars.cast("double") / greatest(nTokens, lit(1)), 4).as("avg_token_len"),
       round(punct.cast("double") / greatest(nChars, lit(1)), 4).as("punct_ratio"),
       round(digits.cast("double") / greatest(nChars, lit(1)), 4).as("digit_ratio"),
@@ -66,17 +73,16 @@ object TextAnalysis {
 
   // ------------------------------------------------------------ tokens
 
-  /** Token counting: whitespace words + a BPE-ish subword estimate
-    * (letters/digits runs + punctuation marks each count; long words count
-    * ceil(len/4) subwords — a cheap proxy for byte-pair tokenizers).
+  /** Token counting: whitespace words + a BPE-ish subword estimate (each
+    * letters/digits run counts ceil(len/4) subwords — a cheap proxy for
+    * byte-pair tokenizers).
     */
   def tokenCounts(docs: DataFrame): DataFrame = {
     val wsTokens = size(filter(split(col("text"), "\\s+"), t => t =!= ""))
-    val pieces = filter(split(col("text"), "(?![\\p{L}0-9])(?<=.)|(?=[^\\p{L}0-9\\s])"), t => trim(t) =!= "")
     val bpeIsh = aggregate(tokensCol(col("text")), lit(0L),
       (acc, t) => acc + ceil(length(t).cast("double") / 4.0).cast("long"))
-    docs.select(col("doc_id"), wsTokens.as("n_ws_tokens"),
-      size(pieces).as("n_pieces"), bpeIsh.as("n_bpe_est"))
+    docs.select(col("doc_id"), wsTokens.cast("long").as("n_ws_tokens"),
+      bpeIsh.as("n_bpe_est"))
   }
 
   // ------------------------------------------------------------ fingerprint

@@ -1,0 +1,42 @@
+package graft.functions
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Custom Catalyst expression specs: codegen path, interpreted path, and
+  * SQL registration all agree with the shared scalar implementation.
+  */
+class FunctionsSpec extends AnyFunSuite with SparkTestBase {
+
+  private val pairs = Seq(
+    ("martha", "marhta"), ("dwayne", "duane"), ("abcdef", "abxxxx"),
+    ("same", "same"), ("", ""), ("a", "b"),
+    ("Customer#000000001", "Customer#000000010"))
+
+  test("JaroWinklerExpr (codegen) equals the scalar implementation") {
+    import spark.implicits._
+    val df = pairs.toDF("a", "b")
+    val got = df.select(JaroWinkler.jaroWinkler(col("a"), col("b"))).collect()
+      .map(_.getDouble(0))
+    val want = pairs.map { case (a, b) => graft.kg.Text.jaroWinkler(a, b) }
+    got.zip(want).foreach { case (g, w) => assert(g == w) }
+  }
+
+  test("jaro_winkler is registered and usable from SQL") {
+    import spark.implicits._
+    JaroWinkler.register(spark)
+    pairs.toDF("a", "b").createOrReplaceTempView("jw_pairs")
+    val got = spark.sql("SELECT jaro_winkler(a, b) FROM jw_pairs").collect()
+      .map(_.getDouble(0))
+    val want = pairs.map { case (a, b) => graft.kg.Text.jaroWinkler(a, b) }
+    got.zip(want).foreach { case (g, w) => assert(g == w) }
+  }
+
+  test("nulls propagate (BinaryExpression null-intolerant default)") {
+    import spark.implicits._
+    val df = Seq((Option("x"), Option.empty[String])).toDF("a", "b")
+    val r = df.select(JaroWinkler.jaroWinkler(col("a"), col("b"))).collect()
+    assert(r(0).isNullAt(0))
+  }
+}
