@@ -11,6 +11,8 @@ final case class KgConf(
     minScore: Double = 0.5,      // decision grid midpoint, PrepareTrainingSet.java:937-943
     margin: Double = 0.1,
     strongThreshold: Double = 0.9, // ScoreEntities.java:141
+    fuzzyEnabled: Boolean = true,  // J10 MinHash-LSH long-tail blocking
+    fuzzyThreshold: Double = 0.5,  // exact shingle-Jaccard verification bar
     // logistic scorer weights (north_star: LR-style scorer replacing the NN)
     wName: Double = 5.0,
     wCos: Double = 4.0,
@@ -88,7 +90,21 @@ object CandidateGen {
     val narrowed = rollup(primary, dictionary)
 
     val kept = full.join(broadcast(overmatched), Seq("entity_id"), "left_anti")
-    val unioned = kept.unionByName(narrowed)
+    val exact = kept.unionByName(narrowed)
+
+    // J10: MinHash-LSH blocking for the long tail — entities with ZERO
+    // exact-name candidates get fuzzy candidates via character-shingle
+    // banding against the dictionary's (distinct) names.
+    val unioned = if (!conf.fuzzyEnabled) exact else {
+      val withCand = exact.select(col("entity_id")).distinct()
+      val lonely = qn.join(withCand, Seq("entity_id"), "left_anti")
+      val dictNames = dictionary.select(col("name")).distinct()
+      val fuzzy = Blocking.fuzzyNameMatches(lonely, dictNames, conf.fuzzyThreshold)
+        .join(dictionary, Seq("name"))
+        .groupBy(col("entity_id"), col("account_id"))
+        .agg(sum(col("freq")).as("freq"))
+      exact.unionByName(fuzzy)
+    }
 
     val w = Window.partitionBy(col("entity_id"))
       .orderBy(col("freq").desc, col("account_id").asc)

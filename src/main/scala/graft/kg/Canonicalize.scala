@@ -24,35 +24,40 @@ object Canonicalize {
 
   /** edges(src, dst) — undirected pairs; nodes are IRI strings. */
   def components(spark: SparkSession, edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val sym = edges.select(col("src"), col("dst"))
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
-      .localCheckpoint()
+      .persist(MEMORY_AND_DISK)
 
     var labels = sym.select(col("src").as("node"))
       .distinct()
       .withColumn("comp", col("node"))
-      .localCheckpoint()
+      .persist(MEMORY_AND_DISK)
 
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
-      // min over own label and all neighbors' labels
+      // min over own label and all neighbors' labels; persist keeps each
+      // round's frame flat (no lineage growth) with ONE job per round —
+      // the convergence count doubles as the materializing action
       val viaNeighbors = sym
         .join(labels.withColumnRenamed("node", "dst"), Seq("dst"))
         .select(col("src").as("node"), col("comp"))
       val next = viaNeighbors.unionByName(labels)
         .groupBy(col("node"))
         .agg(min(col("comp")).as("comp"))
-        .localCheckpoint()
+        .persist(MEMORY_AND_DISK)
       val changed = next.alias("n")
         .join(labels.alias("o"), Seq("node"))
         .filter(col("n.comp") =!= col("o.comp"))
         .count()
+      labels.unpersist(blocking = false)
       labels = next
       converged = changed == 0
       iter += 1
     }
+    sym.unpersist(blocking = false)
     labels
   }
 

@@ -34,8 +34,13 @@ object CorpusGen {
   val Tiny: Scale = Scale("tiny", 60, 30, 400, 12)
   val Small: Scale = Scale("small", 1500, 800, 12000, 60)
   val Bench: Scale = Scale("bench", 8000, 4000, 120000, 200)
-  def benchAt(files: Int): Scale =
-    Scale(s"bench$files", 8000, 4000, files, 200)
+  /** Bench scale with entities/accounts growing with the corpus (at 10^12
+    * files the KB side grows too — keeps every pipeline stage scaling).
+    */
+  def benchAt(files: Int): Scale = {
+    val entities = math.max(8000, files / 20)
+    Scale(s"bench$files", entities, entities / 2, files, math.max(200, entities / 40))
+  }
 
   val Seed: Long = 42L
 

@@ -36,11 +36,20 @@ object Pipeline {
       accounts: DataFrame, conf: KgConf = KgConf()): Result = {
     sessionConf(spark)
     val mentions = Mentions.extract(repos)
-    // mentions feeds the dictionary, the lineage roll-up, and (via authored
-    // text) nothing else at this stage — cache the narrow projection once.
+    // the dictionary is the ONLY consumer of the corpus scan; persisting it
+    // means the (huge) corpus is read exactly once per run — candidate
+    // generation's rollup + back-off passes then reuse the (small)
+    // aggregated dictionary instead of re-scanning the corpus
     val dict = Dictionary.build(spark, mentions, accounts)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cands = CandidateGen.candidates(spark, entities, dict, conf)
+    // alignments feed three consumers (connected components, the triple
+    // materialization, and the evaluation surface) — without a persist the
+    // whole corpus-scan → dictionary → scoring chain recomputes per
+    // consumer (~3× wall). Persisted size is O(|entities| × topK), tiny
+    // next to the corpus.
     val aligned = Scorer.score(cands, entities, accounts, conf)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val reps = Canonicalize.representatives(spark, aligned, conf)
     val triples = Triples.materialize(aligned, reps)
     val lineage = mentions

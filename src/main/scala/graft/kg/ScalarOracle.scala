@@ -57,6 +57,13 @@ object ScalarOracle {
     dict.foreach { case ((name, acc), f) =>
       dictByName.getOrElseUpdate(name, mutable.ArrayBuffer.empty) += ((acc, f))
     }
+    // band key -> distinct dictionary names (J10 blocking index)
+    val dictNamesByBand = mutable.HashMap.empty[Long, mutable.ArrayBuffer[String]]
+    dictByName.keysIterator.foreach { name =>
+      Blocking.bandKeys(name).foreach { bk =>
+        dictNamesByBand.getOrElseUpdate(bk, mutable.ArrayBuffer.empty) += name
+      }
+    }
 
     // ---------------- candidates (CandidateGen.candidates)
     def rollup(entityId: String, qnames: Seq[String]): Map[Long, Long] = {
@@ -83,6 +90,26 @@ object ScalarOracle {
         if (cands.size > conf.backoffThreshold) {
           val primary = Text.swapLastFirst(Text.normalizeName(ent.names.head))
           cands = if (primary.length >= 3) rollup(ent.id, Seq(primary)) else Map.empty
+        }
+        // J10 fuzzy long-tail (mirrors CandidateGen: band-key blocking +
+        // exact shingle-Jaccard over DISTINCT matched dictionary names)
+        if (conf.fuzzyEnabled && cands.isEmpty) {
+          val matchedNames = mutable.HashSet.empty[String]
+          qnames.foreach { qn =>
+            Blocking.bandKeys(qn).foreach { bk =>
+              dictNamesByBand.get(bk).foreach(_.foreach { dn =>
+                if (Blocking.jaccardShingles(qn, dn) >= conf.fuzzyThreshold)
+                  matchedNames += dn
+              })
+            }
+          }
+          val m = mutable.HashMap.empty[Long, Long]
+          matchedNames.foreach { dn =>
+            dictByName.get(dn).foreach(_.foreach { case (acc, f) =>
+              m(acc) = m.getOrElse(acc, 0L) + f
+            })
+          }
+          cands = m.toMap
         }
         val topK = cands.toSeq
           .sortBy { case (acc, f) => (-f, acc) }
