@@ -112,6 +112,85 @@ object OpsQueries {
   val textFingerprint: Q = (s, dir) =>
     TextAnalysis.fingerprints(docs(s, dir)).orderBy(col("doc_id"))
 
+  private val tokensSqlExpr =
+    "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+
+  /** F16/F17: TF-IDF as explicit joins/aggregates. */
+  val textTfidf: Q = (s, dir) =>
+    ops.TfIdf.tfidf(docs(s, dir)).orderBy(col("doc_id"), col("token"))
+
+  val textTfidfSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest($tokensSqlExpr) AS token FROM documents),
+       |tf AS (
+       |  SELECT doc_id, token, 1.0 + ln(count(*)::DOUBLE) AS tf
+       |  FROM toks GROUP BY doc_id, token),
+       |dfq AS (
+       |  SELECT token, count(*) AS df
+       |  FROM (SELECT DISTINCT doc_id, token FROM toks) GROUP BY token),
+       |idf AS (
+       |  SELECT token, ln(((SELECT count(*) FROM documents)::DOUBLE + 1.0) /
+       |    (df::DOUBLE + 1.0)) + 1.0 AS idf FROM dfq)
+       |SELECT tf.doc_id, tf.token, round(tf.tf * idf.idf, 4) AS tfidf
+       |FROM tf JOIN idf ON tf.token = idf.token
+       |ORDER BY doc_id, token""".stripMargin
+
+  /** A14: χ² (token, category) feature-selection scores; category = lang. */
+  val textChi2: Q = (s, dir) =>
+    ops.TfIdf.chiSquared(docs(s, dir).withColumnRenamed("lang", "category"))
+      .orderBy(col("token"), col("category"))
+
+  val textChi2Sql: String =
+    s"""WITH toks AS (
+       |  SELECT DISTINCT doc_id, category, token FROM (
+       |    SELECT doc_id, lang AS category,
+       |      unnest($tokensSqlExpr) AS token FROM documents)),
+       |tok_cat AS (
+       |  SELECT token, category, count(*) AS n11 FROM toks
+       |  GROUP BY token, category HAVING count(*) >= 5),
+       |tok_tot AS (SELECT token, count(*) AS n1x FROM toks GROUP BY token),
+       |cat_tot AS (SELECT lang AS category, count(*) AS nx1 FROM documents GROUP BY lang),
+       |n AS (SELECT count(*)::DOUBLE AS n FROM documents)
+       |SELECT tc.token, tc.category, tc.n11,
+       |  round(n.n * pow(tc.n11 * (n.n - tt.n1x - (ct.nx1 - tc.n11)) - (tt.n1x - tc.n11) * (ct.nx1 - tc.n11), 2) /
+       |    (tt.n1x * (n.n - tt.n1x) * ct.nx1 * (n.n - ct.nx1)), 4) AS chi2
+       |FROM tok_cat tc
+       |JOIN tok_tot tt ON tc.token = tt.token
+       |JOIN cat_tot ct ON tc.category = ct.category, n
+       |ORDER BY token, category""".stripMargin
+
+  // ---------------------------------------------------------------- cooc
+
+  /** A8/W4/W5: token dictionary with dense rank ids. */
+  val coocDictionary: Q = (s, dir) =>
+    ops.Cooccurrence.tokenDictionary(docs(s, dir), minFreq = 5, topV = 200)
+      .withColumn("id", col("id").cast("long"))
+      .orderBy(col("id"))
+
+  val coocDictionarySql: String =
+    """SELECT token, freq, row_number() OVER (ORDER BY freq DESC, token ASC) - 1 AS id
+      |FROM (SELECT token, count(*) AS freq
+      |      FROM (SELECT unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS token
+      |            FROM documents)
+      |      GROUP BY token HAVING count(*) > 5
+      |      ORDER BY freq DESC, token ASC LIMIT 200)
+      |ORDER BY id""".stripMargin
+
+  /** A9/X1: windowed co-occurrence pair weights with shard columns. */
+  val coocPairs: Q = (s, dir) => {
+    val d = docs(s, dir)
+    val dict = ops.Cooccurrence.tokenDictionary(d, minFreq = 5, topV = 200)
+    ops.Cooccurrence.cooccurrence(d, dict).orderBy(col("l"), col("r"))
+  }
+
+  /** A10: dense marginals over the dictionary id space. */
+  val coocMarginals: Q = (s, dir) => {
+    val d = docs(s, dir)
+    val dict = ops.Cooccurrence.tokenDictionary(d, minFreq = 5, topV = 200)
+    val cooc = ops.Cooccurrence.cooccurrence(d, dict)
+    ops.Cooccurrence.marginals(s, cooc, 200).orderBy(col("id"))
+  }
+
   // ---------------------------------------------------------------- media
 
   val multimodalFeatures: Q = (s, dir) =>
@@ -131,6 +210,11 @@ object OpsQueries {
     "text_quality" -> textQuality,
     "text_tokens" -> textTokens,
     "text_fingerprint" -> textFingerprint,
+    "text_tfidf" -> textTfidf,
+    "text_chi2" -> textChi2,
+    "cooc_dictionary" -> coocDictionary,
+    "cooc_pairs" -> coocPairs,
+    "cooc_marginals" -> coocMarginals,
     "multimodal_features" -> multimodalFeatures,
   )
 
@@ -140,5 +224,8 @@ object OpsQueries {
     "text_quality" -> textQualitySql,
     "text_langid" -> textLangidSql,
     "text_tokens" -> textTokensSql,
+    "text_tfidf" -> textTfidfSql,
+    "text_chi2" -> textChi2Sql,
+    "cooc_dictionary" -> coocDictionarySql,
   )
 }

@@ -336,6 +336,145 @@ object Queries {
       |  least(datediff('day', CAST(ts AS DATE), DATE '2026-01-01'), 100) AS days_capped
       |FROM events ORDER BY event_id""".stripMargin
 
+  /** P2: text-length filter (BuildUserIndex.java:117). */
+  val p2LengthFilter: Q = (s, dir) =>
+    t(s, dir, "documents")
+      .filter(length(col("text")) > 100)
+      .select(col("doc_id"), length(col("text")).cast("long").as("len"))
+      .orderBy(col("doc_id"))
+
+  val p2LengthFilterSql: String =
+    """SELECT doc_id, length(text) AS len FROM documents
+      |WHERE length(text) > 100 ORDER BY doc_id""".stripMargin
+
+  /** P5: language filter (LanguageFilter.java). */
+  val p5LangFilter: Q = (s, dir) =>
+    t(s, dir, "documents")
+      .filter(col("lang") === "en")
+      .select(col("doc_id"), col("source"))
+      .orderBy(col("doc_id"))
+
+  val p5LangFilterSql: String =
+    """SELECT doc_id, source FROM documents WHERE lang = 'en' ORDER BY doc_id""".stripMargin
+
+  /** F8: type one-hots (EntityTypeScorer.java:23-35). */
+  val f8Onehot: Q = (s, dir) =>
+    t(s, dir, "customer")
+      .select(col("c_custkey"),
+        when(col("c_mktsegment") === "BUILDING", 1.0).otherwise(0.0).as("is_building"),
+        when(col("c_mktsegment") === "AUTOMOBILE", 1.0).otherwise(0.0).as("is_auto"),
+        when(!col("c_mktsegment").isin("BUILDING", "AUTOMOBILE"), 1.0).otherwise(0.0).as("is_other"))
+      .orderBy(col("c_custkey"))
+
+  val f8OnehotSql: String =
+    """SELECT c_custkey,
+      |  CASE WHEN c_mktsegment = 'BUILDING' THEN 1.0 ELSE 0.0 END AS is_building,
+      |  CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1.0 ELSE 0.0 END AS is_auto,
+      |  CASE WHEN c_mktsegment NOT IN ('BUILDING','AUTOMOBILE') THEN 1.0 ELSE 0.0 END AS is_other
+      |FROM customer ORDER BY c_custkey""".stripMargin
+
+  /** F14: "Last, First" name swap (AllNamesStrategy.java:87-94). */
+  val f14NameSwap: Q = (s, dir) =>
+    t(s, dir, "customer")
+      .select(col("c_custkey"),
+        when(col("c_name").contains(", ") &&
+          size(split(col("c_name"), ", ")) === 2,
+          concat(element_at(split(col("c_name"), ", "), 2), lit(" "),
+            element_at(split(col("c_name"), ", "), 1)))
+          .otherwise(col("c_name")).as("swapped"))
+      .orderBy(col("c_custkey"))
+
+  val f14NameSwapSql: String =
+    """SELECT c_custkey,
+      |  CASE WHEN contains(c_name, ', ') AND len(string_split(c_name, ', ')) = 2
+      |    THEN string_split(c_name, ', ')[2] || ' ' || string_split(c_name, ', ')[1]
+      |    ELSE c_name END AS swapped
+      |FROM customer ORDER BY c_custkey""".stripMargin
+
+  /** F15/S2: JSON path access on a raw json column (JsonObjectProcessor). */
+  val f15JsonGet: Q = (s, dir) =>
+    t(s, dir, "events")
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .orderBy(col("event_id"))
+
+  val f15JsonGetSql: String =
+    """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      |FROM events ORDER BY event_id""".stripMargin
+
+  /** A6: condensed adjacency — per-key sorted collect_list, stringified for
+    * a stable cross-engine compare (ExtractSocialGraph.java:137-174).
+    */
+  val a6Adjacency: Q = (s, dir) =>
+    t(s, dir, "events")
+      .select(col("user_id"), col("event_type"), col("value")).distinct()
+      .groupBy(col("user_id"))
+      .agg(concat_ws(",", sort_array(collect_list(col("event_type")))).as("dsts"),
+        count(lit(1)).as("degree"))
+      .orderBy(col("user_id"))
+
+  val a6AdjacencySql: String =
+    """SELECT user_id, string_agg(event_type, ',' ORDER BY event_type) AS dsts,
+      |  count(*) AS degree
+      |FROM (SELECT DISTINCT user_id, event_type, value FROM events)
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** A17: deterministic first-non-null per key (min_by over non-nulls). */
+  val a17FirstNonNull: Q = (s, dir) =>
+    t(s, dir, "events")
+      .withColumn("maybe", when(col("value") > 50, col("event_type"))) // plant nulls
+      .groupBy(col("user_id"))
+      .agg(min_by(col("maybe"), when(col("maybe").isNotNull, col("event_id"))).as("first_type"))
+      .orderBy(col("user_id"))
+
+  val a17FirstNonNullSql: String =
+    """SELECT user_id, arg_min(maybe, CASE WHEN maybe IS NOT NULL THEN event_id END) AS first_type
+      |FROM (SELECT user_id, event_id,
+      |        CASE WHEN value > 50 THEN event_type END AS maybe FROM events)
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** W5: dense sequential id by global order (zip-with-index rebuilt as a
+    * window, not the reference's parallelism-1 hack).
+    */
+  val w5ZipIndex: Q = (s, dir) =>
+    t(s, dir, "nation")
+      .withColumn("idx",
+        (row_number().over(Window.orderBy(col("n_name").asc)) - 1).cast("long"))
+      .select(col("n_name"), col("idx"))
+      .orderBy(col("idx"))
+
+  val w5ZipIndexSql: String =
+    """SELECT n_name, row_number() OVER (ORDER BY n_name ASC) - 1 AS idx
+      |FROM nation ORDER BY idx""".stripMargin
+
+  /** A10: dense zero-fill against a generated id range. */
+  val a10ZeroFill: Q = (s, dir) => {
+    val ev = t(s, dir, "events")
+    val maxUid = ev.agg(max(col("user_id"))).collect()(0).getLong(0)
+    val counts = ev.groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+    s.range(0, maxUid + 1).toDF("user_id")
+      .join(counts, Seq("user_id"), "left")
+      .select(col("user_id"), coalesce(col("n"), lit(0L)).as("n"))
+      .orderBy(col("user_id"))
+  }
+
+  val a10ZeroFillSql: String =
+    """SELECT g.user_id, coalesce(c.n, 0) AS n
+      |FROM (SELECT unnest(generate_series(0, (SELECT max(user_id) FROM events))) AS user_id) g
+      |LEFT JOIN (SELECT user_id, count(*) AS n FROM events GROUP BY user_id) c
+      |  ON g.user_id = c.user_id
+      |ORDER BY user_id""".stripMargin
+
+  /** A11: json_agg per key (DumpResource.java:41-44) — rows-only (JSON
+    * serialization differs across engines).
+    */
+  val a11JsonAgg: Q = (s, dir) =>
+    t(s, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(to_json(sort_array(collect_list(
+        struct(col("event_id"), col("event_type"))))).as("payload"))
+      .orderBy(col("user_id"))
+
   // ------------------------------------------------------------------
   // Streaming-flavored (SURVEY §2.10)
   // ------------------------------------------------------------------
@@ -391,6 +530,16 @@ object Queries {
     "f9_recency" -> f9Recency,
     "t2_windowed_agg" -> t2WindowedAgg,
     "stream_windowed_counts" -> streamWindowedCounts,
+    "p2_length_filter" -> p2LengthFilter,
+    "p5_lang_filter" -> p5LangFilter,
+    "f8_onehot" -> f8Onehot,
+    "f14_name_swap" -> f14NameSwap,
+    "f15_json_get" -> f15JsonGet,
+    "a6_adjacency" -> a6Adjacency,
+    "a17_first_non_null" -> a17FirstNonNull,
+    "w5_zip_index" -> w5ZipIndex,
+    "a10_zero_fill" -> a10ZeroFill,
+    "a11_json_agg" -> a11JsonAgg,
   ) ++ OpsQueries.all ++ KgQueries.all
 
   def oracles: Map[String, String] = Map(
@@ -415,5 +564,14 @@ object Queries {
     "f21_sha256" -> f21Sha256Sql,
     "f9_recency" -> f9RecencySql,
     "t2_windowed_agg" -> t2WindowedAggSql,
+    "p2_length_filter" -> p2LengthFilterSql,
+    "p5_lang_filter" -> p5LangFilterSql,
+    "f8_onehot" -> f8OnehotSql,
+    "f14_name_swap" -> f14NameSwapSql,
+    "f15_json_get" -> f15JsonGetSql,
+    "a6_adjacency" -> a6AdjacencySql,
+    "a17_first_non_null" -> a17FirstNonNullSql,
+    "w5_zip_index" -> w5ZipIndexSql,
+    "a10_zero_fill" -> a10ZeroFillSql,
   ) ++ OpsQueries.oracles ++ KgQueries.oracles
 }

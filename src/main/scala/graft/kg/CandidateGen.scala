@@ -73,8 +73,11 @@ object CandidateGen {
     */
   def candidates(spark: SparkSession, entities: DataFrame, dictionary: DataFrame,
       conf: KgConf = KgConf()): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val qn = queryNames(entities)
-    val full = rollup(qn, dictionary)
+    // `full` feeds three branches (overmatch counts, kept, and the fuzzy
+    // long-tail anti-join) — persist so the dictionary join runs once
+    val full = rollup(qn, dictionary).persist(MEMORY_AND_DISK)
 
     // J11 back-off: entities matching too many accounts are re-queried with
     // only their primary name (two-pass dataflow, no per-row loop).
@@ -90,7 +93,7 @@ object CandidateGen {
     val narrowed = rollup(primary, dictionary)
 
     val kept = full.join(broadcast(overmatched), Seq("entity_id"), "left_anti")
-    val exact = kept.unionByName(narrowed)
+    val exact = kept.unionByName(narrowed).persist(MEMORY_AND_DISK)
 
     // J10: MinHash-LSH blocking for the long tail — entities with ZERO
     // exact-name candidates get fuzzy candidates via character-shingle

@@ -23,41 +23,44 @@ import org.apache.spark.sql.functions._
 object Canonicalize {
 
   /** edges(src, dst) — undirected pairs; nodes are IRI strings. */
-  def components(spark: SparkSession, edges: DataFrame, maxIter: Int = 20): DataFrame = {
-    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+  def components(spark: SparkSession, edges: DataFrame, maxIter: Int = 20,
+      verbose: Boolean = false): DataFrame = {
+    // localCheckpoint (eager) BOTH materializes and TRUNCATES the logical
+    // plan. Each round's plan embeds the previous round's frame twice
+    // (once in the neighbor join, once in the union), so without lineage
+    // truncation the plan tree doubles per round — exponential analysis
+    // cost by iteration ~15 (the classic iterative-DataFrame trap; persist
+    // alone caches data but keeps the logical plan growing).
     val sym = edges.select(col("src"), col("dst"))
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
-      .persist(MEMORY_AND_DISK)
+      .localCheckpoint(true)
 
     var labels = sym.select(col("src").as("node"))
       .distinct()
       .withColumn("comp", col("node"))
-      .persist(MEMORY_AND_DISK)
+      .localCheckpoint(true)
 
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
-      // min over own label and all neighbors' labels; persist keeps each
-      // round's frame flat (no lineage growth) with ONE job per round —
-      // the convergence count doubles as the materializing action
+      // min over own label and all neighbors' labels
       val viaNeighbors = sym
         .join(labels.withColumnRenamed("node", "dst"), Seq("dst"))
         .select(col("src").as("node"), col("comp"))
       val next = viaNeighbors.unionByName(labels)
         .groupBy(col("node"))
         .agg(min(col("comp")).as("comp"))
-        .persist(MEMORY_AND_DISK)
+        .localCheckpoint(true)
       val changed = next.alias("n")
         .join(labels.alias("o"), Seq("node"))
         .filter(col("n.comp") =!= col("o.comp"))
         .count()
-      labels.unpersist(blocking = false)
       labels = next
       converged = changed == 0
       iter += 1
+      if (verbose) println(s"[cc] iter=$iter changed=$changed")
     }
-    sym.unpersist(blocking = false)
     labels
   }
 

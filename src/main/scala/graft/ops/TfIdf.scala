@@ -1,0 +1,61 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** TF-IDF and χ² feature scoring over documents — SURVEY §2.3 F16/F17 and
+  * §2.4 A14, expressed as plain joins/aggregates (DuckDB-oracle-checkable)
+  * rather than MLlib fit/transform, so semantics are explicit and the plan
+  * is three hash aggregates + one broadcast join.
+  */
+object TfIdf {
+
+  def tokensCol(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    filter(split(lower(text), "[^a-z0-9]+"), t => t =!= "")
+
+  /** (doc_id, token, tf): log-scaled term frequency (F16 BOW log-TF). */
+  def logTf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(tokensCol(col("text"))).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg((lit(1.0) + log(count(lit(1)).cast("double"))).as("tf"))
+
+  /** (token, df, idf): smooth idf = ln((N+1)/(df+1)) + 1. */
+  def idf(docs: DataFrame): DataFrame = {
+    val n = docs.count()
+    docs.select(col("doc_id"), explode(array_distinct(tokensCol(col("text")))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+      .withColumn("idf", log((lit(n.toDouble) + 1.0) / (col("df").cast("double") + 1.0)) + 1.0)
+  }
+
+  /** (doc_id, token, tfidf). */
+  def tfidf(docs: DataFrame): DataFrame =
+    logTf(docs).join(broadcast(idf(docs)), Seq("token"))
+      .select(col("doc_id"), col("token"),
+        round(col("tf") * col("idf"), 4).as("tfidf"))
+
+  /** χ² score of (token, category) association over a docs(doc_id, text,
+    * category) table — A14 feature selection (ChiSquared.java:10).
+    * Standard 2×2 χ² with the observed/expected contingency counts.
+    */
+  def chiSquared(docs: DataFrame, minCount: Long = 5): DataFrame = {
+    val n = docs.count().toDouble
+    val tokDocs = docs
+      .select(col("doc_id"), col("category"),
+        explode(array_distinct(tokensCol(col("text")))).as("token"))
+    val tokCat = tokDocs.groupBy(col("token"), col("category"))
+      .agg(count(lit(1)).as("n11"))
+      .filter(col("n11") >= minCount)
+    val tokTotal = tokDocs.groupBy(col("token")).agg(count(lit(1)).as("n1x"))
+    val catTotal = docs.groupBy(col("category")).agg(count(lit(1)).as("nx1"))
+    tokCat
+      .join(broadcast(tokTotal), Seq("token"))
+      .join(broadcast(catTotal), Seq("category"))
+      .withColumn("n10", col("n1x") - col("n11"))
+      .withColumn("n01", col("nx1") - col("n11"))
+      .withColumn("n00", lit(n) - col("n1x") - col("n01"))
+      .withColumn("chi2", round(
+        lit(n) * pow(col("n11") * col("n00") - col("n10") * col("n01"), 2) /
+          (col("n1x") * (lit(n) - col("n1x")) * col("nx1") * (lit(n) - col("nx1"))), 4))
+      .select(col("token"), col("category"), col("n11"), col("chi2"))
+  }
+}
