@@ -131,9 +131,9 @@ object OpsQueries {
        |idf AS (
        |  SELECT token, ln(((SELECT count(*) FROM documents)::DOUBLE + 1.0) /
        |    (df::DOUBLE + 1.0)) + 1.0 AS idf FROM dfq)
-       |SELECT tf.doc_id, tf.token, round(tf.tf * idf.idf, 4) AS tfidf
+       |SELECT tf.doc_id AS doc_id, tf.token AS token, round(tf.tf * idf.idf, 4) AS tfidf
        |FROM tf JOIN idf ON tf.token = idf.token
-       |ORDER BY doc_id, token""".stripMargin
+       |ORDER BY tf.doc_id, tf.token""".stripMargin
 
   /** A14: χ² (token, category) feature-selection scores; category = lang. */
   val textChi2: Q = (s, dir) =>
@@ -151,13 +151,13 @@ object OpsQueries {
        |tok_tot AS (SELECT token, count(*) AS n1x FROM toks GROUP BY token),
        |cat_tot AS (SELECT lang AS category, count(*) AS nx1 FROM documents GROUP BY lang),
        |n AS (SELECT count(*)::DOUBLE AS n FROM documents)
-       |SELECT tc.token, tc.category, tc.n11,
+       |SELECT tc.token AS token, tc.category AS category, tc.n11 AS n11,
        |  round(n.n * pow(tc.n11 * (n.n - tt.n1x - (ct.nx1 - tc.n11)) - (tt.n1x - tc.n11) * (ct.nx1 - tc.n11), 2) /
        |    (tt.n1x * (n.n - tt.n1x) * ct.nx1 * (n.n - ct.nx1)), 4) AS chi2
        |FROM tok_cat tc
        |JOIN tok_tot tt ON tc.token = tt.token
        |JOIN cat_tot ct ON tc.category = ct.category, n
-       |ORDER BY token, category""".stripMargin
+       |ORDER BY tc.token, tc.category""".stripMargin
 
   // ---------------------------------------------------------------- cooc
 

@@ -35,9 +35,35 @@ object Profile {
     val dict = Dictionary.build(spark, mentions, accounts).persist(MEMORY_AND_DISK)
     time("dictionary")(dict.count())
 
+    // candidates sub-steps
+    val qn = CandidateGen.queryNames(entities)
+    time("qn_count")(qn.count())
+    val fullRollup = broadcast(qn).join(dict, qn("qname") === dict("name"))
+      .groupBy(col("entity_id"), col("account_id"))
+      .agg(sum(col("freq")).as("freq")).persist(MEMORY_AND_DISK)
+    time("rollup")(fullRollup.count())
+    val dictNames = dict.select(col("name")).distinct().persist(MEMORY_AND_DISK)
+    time("dict_names")(dictNames.count())
+    val lonely = qn.join(fullRollup.select(col("entity_id")).distinct(),
+      Seq("entity_id"), "left_anti")
+    val fuzzy = Blocking.fuzzyNameMatches(lonely, dictNames, 0.5)
+    time("fuzzy_matches")(fuzzy.count())
+
     val cands = CandidateGen.candidates(spark, entities, dict)
       .persist(MEMORY_AND_DISK)
     time("candidates")(cands.count())
+
+    // scoring sub-steps
+    val ent = entities.select(col("id").as("entity_id"), col("names"), col("abstractText"))
+    val acc = accounts.select(col("accountId").as("account_id"),
+      col("screenName").as("screen_name"), col("name").as("account_name"),
+      col("description"), col("followers"), col("verified"))
+    val joined = cands.join(broadcast(ent), Seq("entity_id")).join(acc, Seq("account_id"))
+    time("score_join")(joined.count())
+    val withF = joined.select(
+      Scorer.nameSimUdf(col("names"), col("account_name")).as("ns"),
+      Scorer.cosUdf(col("abstractText"), col("description")).as("cs"))
+    time("score_udfs")(withF.agg(sum(col("ns") + col("cs"))).collect())
 
     val aligned = Scorer.score(cands, entities, accounts).persist(MEMORY_AND_DISK)
     time("scoring")(aligned.count())

@@ -459,11 +459,11 @@ object Queries {
   }
 
   val a10ZeroFillSql: String =
-    """SELECT g.user_id, coalesce(c.n, 0) AS n
+    """SELECT g.user_id AS user_id, coalesce(c.n, 0) AS n
       |FROM (SELECT unnest(generate_series(0, (SELECT max(user_id) FROM events))) AS user_id) g
       |LEFT JOIN (SELECT user_id, count(*) AS n FROM events GROUP BY user_id) c
       |  ON g.user_id = c.user_id
-      |ORDER BY user_id""".stripMargin
+      |ORDER BY g.user_id""".stripMargin
 
   /** A11: json_agg per key (DumpResource.java:41-44) — rows-only (JSON
     * serialization differs across engines).
