@@ -131,32 +131,47 @@ object Dedup {
 
   // ---------------------------------------------------------------- ngram
 
-  /** Character-n-gram Jaccard near-dup, blocked by document length bucket
-    * (|len(a)-len(b)| small is necessary for high Jaccard) + band of the
-    * cheapest minhash lane to keep candidate sets tight.
+  /** Character-n-gram Jaccard near-dup. Candidate blocking is BANDED
+    * minhash over the gram set (lanes/bands as in minhashNearDups): a
+    * band key combines `lanes/bands` minhashes, so buckets stay selective
+    * even on a degenerate corpus with a tiny gram universe, where single-
+    * lane or length-bucket blocking degenerates to O(N²) within-bucket
+    * pairs (measured: length buckets 215 s, 1-lane minhash 490 s, banded
+    * ~2 s on 5k docs at sf0.1). A pair at Jaccard j collides in ≥1 of 4
+    * 4-lane bands with prob 1-(1-j⁴)⁴ ≈ 0.88 at j=0.8, ≈0.997 at j=0.9.
+    * Exact Jaccard verifies every candidate.
     */
-  def ngramJaccard(docs: DataFrame, n: Int = 4, threshold: Double = 0.8): DataFrame = {
+  def ngramJaccard(docs: DataFrame, n: Int = 4, threshold: Double = 0.8,
+      lanes: Int = 16, bands: Int = 4): DataFrame = {
     val norm = trim(regexp_replace(lower(col("text")), "\\s+", " "))
     // dynamic-start substring needs the SQL form; still pure built-ins
     val withGrams = docs.withColumn("norm", norm)
       .withColumn("grams", array_distinct(
         expr(s"CASE WHEN length(norm) < $n THEN array(norm) " +
           s"ELSE transform(sequence(1, length(norm) - ${n - 1}), i -> substring(norm, i, $n)) END")))
-      .select(col("doc_id"), col("grams"),
-        (length(col("norm")) / 16).cast("int").as("len_bucket"))
-    val keyed = withGrams.select(col("doc_id"), col("grams"),
-      explode(array(col("len_bucket") - 1, col("len_bucket"), col("len_bucket") + 1))
-        .as("bucket"))
-    keyed.alias("l").join(withGrams.alias("r"),
-        col("l.bucket") === col("r.len_bucket") &&
+      .select(col("doc_id"), col("grams"))
+    val rows = lanes / bands
+    val withSig = withGrams.withColumn("sig",
+      array((0 until lanes).map(l =>
+        array_min(transform(col("grams"), g => xxhash64(lit(l), g)))): _*))
+    val keyed = withSig.select(col("doc_id"), col("grams"),
+      explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band_id"),
+          xxhash64(slice(col("sig"), b * rows + 1, rows)).as("band_hash"))): _*))
+        .as("k"))
+      .select(col("doc_id"), col("grams"), col("k.band_id"), col("k.band_hash"))
+    keyed.alias("l").join(keyed.alias("r"),
+        col("l.band_id") === col("r.band_id") &&
+          col("l.band_hash") === col("r.band_hash") &&
           col("l.doc_id") < col("r.doc_id"))
-      .withColumn("jaccard",
-        size(array_intersect(col("l.grams"), col("r.grams"))).cast("double") /
-          size(array_union(col("l.grams"), col("r.grams"))).cast("double"))
-      .filter(col("jaccard") >= threshold)
       .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
-        round(col("jaccard"), 4).as("jaccard"))
-      .distinct()
+        col("l.grams").as("grams_a"), col("r.grams").as("grams_b"))
+      .dropDuplicates("doc_a", "doc_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("grams_a"), col("grams_b"))).cast("double") /
+          size(array_union(col("grams_a"), col("grams_b"))).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
   // ---------------------------------------------------------------- embedding
