@@ -29,6 +29,14 @@ import org.apache.spark.sql.functions._
   */
 object Scorer {
 
+  /** F20 (ISWC17Strategy.java:86-92): append all C(n,2) pairwise products
+    * of the base feature columns — generated Column exprs, no UDF.
+    */
+  def withCrossProducts(df: DataFrame, featureCols: Seq[String]): DataFrame =
+    featureCols.combinations(2).foldLeft(df) { case (d, Seq(a, b)) =>
+      d.withColumn(s"${a}_x_$b", col(a) * col(b))
+    }
+
   val nameSimUdf = udf((names: Seq[String], cand: String) =>
     Text.nameSimilarity(names, cand))
 

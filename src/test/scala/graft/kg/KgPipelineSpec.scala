@@ -65,6 +65,31 @@ class KgPipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(got == src, s"lineage sha set mismatch: |got|=${got.size} |src|=${src.size}")
   }
 
+  test("candidates are invariant to input partitioning (top-K determinism)") {
+    val scale = CorpusGen.Tiny
+    val repos = CorpusGen.repos(spark, scale).toDF()
+    val accounts = CorpusGen.accounts(spark, scale).toDF()
+    val entities = CorpusGen.entities(spark, scale).toDF()
+    def cands(parts: Int): Set[(String, Long, Long, Int)] = {
+      val dict = Dictionary.build(spark,
+        Mentions.extract(repos.repartition(parts)), accounts.repartition(parts))
+      CandidateGen.candidates(spark, entities.repartition(parts), dict)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+        .toSet
+    }
+    assert(cands(3) == cands(11))
+  }
+
+  test("F20 cross products append pairwise feature products") {
+    import spark.implicits._
+    val df = Seq((1.0, 2.0, 3.0)).toDF("a", "b", "c")
+    val got = Scorer.withCrossProducts(df, Seq("a", "b", "c")).collect()(0)
+    assert(got.getAs[Double]("a_x_b") == 2.0 &&
+      got.getAs[Double]("a_x_c") == 3.0 &&
+      got.getAs[Double]("b_x_c") == 6.0)
+  }
+
   test("corpus generation is partitioning-invariant") {
     import spark.implicits._
     val a = CorpusGen.repos(spark, CorpusGen.Tiny).collect().sortBy(r => (r.repo, r.path))
