@@ -12,8 +12,11 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val localDir = "/dev/shm/spark-local"
+    new java.io.File(localDir).mkdirs()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      .config("spark.local.dir", localDir)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")

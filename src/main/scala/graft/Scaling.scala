@@ -16,6 +16,7 @@ import graft.kg.{CorpusGen, Pipeline}
 object Scaling {
 
   def session(cores: Int): SparkSession = {
+    new java.io.File("/dev/shm/spark-local").mkdirs()
     val s = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(s"graft-scaling-$cores")
