@@ -18,7 +18,7 @@ object KgQueries {
   private type Q = (SparkSession, String) => DataFrame
 
   def scaleFor(dir: String): CorpusGen.Scale =
-    if (dir.contains("sf0.1")) CorpusGen.Bench
+    if (dir.contains("sf0.1")) CorpusGen.benchAt(300000) // 300k files / 15k entities
     else if (dir.contains("sf0.01")) CorpusGen.Small
     else CorpusGen.Tiny
 
