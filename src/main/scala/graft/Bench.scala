@@ -28,17 +28,30 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      val n = try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
+      val n = try fn(spark, sfDir).count() catch {
+        case e: Throwable =>
+          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+            .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(160)
+          -1L
+      }
       val sec = (System.nanoTime() - t0) / 1e9
       if (name == "kg_triples" && n > 0) triplesPerSec = n / sec
-      name -> sec
+      (name, sec, n)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val rows = results.map { case (k, _, n) => "\"" + k + "\":" + n }
+      .mkString("{", ",", "}")
+    val errs = errors.map { case (k, m) => "\"" + k + "\":\"" + m + "\"" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","triples_per_sec":$triplesPerSec}""")
+    // triples_per_sec protocol (keep in sync with BENCH/BASELINE.md): the
+    // kg_triples query = full pipeline cold INCLUDING corpus synthesis, at
+    // KgQueries.scaleFor(sf) files, this JVM/master, single run.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rows":$rows,"errors":$errs,"n_errors":${errors.size},"sf":"$sfDir","triples_per_sec":$triplesPerSec,"triples_protocol":"cold full pipeline incl. synthesis at scaleFor(sf), single run, local[$cpus]"}""")
     spark.stop()
   }
 }

@@ -37,6 +37,44 @@ object OpsQueries {
   val dedupEmbedding: Q = (s, dir) =>
     Dedup.embeddingNearDups(embs(s, dir)).orderBy(col("vec_a"), col("vec_b"))
 
+  /** Brute-force ground truth for the LSH exact-verify stages (bounded to
+    * the first 1000 doc_ids so the pair count stays O(10⁵) at bench sf) —
+    * DuckDB-oracled, and the recall bar the LSH paths are specced against.
+    */
+  val dedupMinhashBrute: Q = (s, dir) =>
+    Dedup.minhashBrute(docs(s, dir).filter(col("doc_id") < 1000))
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  val dedupMinhashBruteSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS ts
+      |  FROM documents WHERE doc_id < 1000),
+      |g AS (SELECT doc_id, CASE WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')]
+      |      ELSE list_distinct(list_transform(generate_series(1, len(ts)-2), i -> array_to_string(ts[i:i+2], ' '))) END AS sh FROM d)
+      |SELECT * FROM (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+      |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) AS jaccard
+      |  FROM g a JOIN g b ON a.doc_id < b.doc_id)
+      |WHERE jaccard >= 0.7 ORDER BY doc_a, doc_b""".stripMargin
+
+  val dedupNgramBrute: Q = (s, dir) =>
+    Dedup.ngramBrute(docs(s, dir).filter(col("doc_id") < 1000))
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  val dedupNgramBruteSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+      |  FROM documents WHERE doc_id < 1000),
+      |g AS (SELECT doc_id, CASE WHEN length(norm) < 4 THEN [norm]
+      |      ELSE list_distinct(list_transform(generate_series(1, length(norm)-3), i -> norm[i:i+3])) END AS grams FROM d)
+      |SELECT * FROM (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    round(len(list_intersect(a.grams, b.grams))::DOUBLE /
+      |      (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))), 4) AS jaccard
+      |  FROM g a JOIN g b ON a.doc_id < b.doc_id)
+      |WHERE jaccard >= 0.8 ORDER BY doc_a, doc_b""".stripMargin
+
   // ---------------------------------------------------------------- ANN
 
   private def queriesOf(e: DataFrame): DataFrame =
@@ -76,12 +114,12 @@ object OpsQueries {
   val textQualitySql: String =
     """SELECT doc_id,
       |  length(text) AS n_chars,
-      |  len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS n_tokens,
-      |  round(length(text)::DOUBLE / greatest(len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')), 1), 4) AS avg_token_len,
+      |  len(list_filter(regexp_split_to_array(lower(text), '[^\p{L}0-9]+'), x -> x <> '')) AS n_tokens,
+      |  round(length(text)::DOUBLE / greatest(len(list_filter(regexp_split_to_array(lower(text), '[^\p{L}0-9]+'), x -> x <> '')), 1), 4) AS avg_token_len,
       |  round((length(text) - length(regexp_replace(text, '[\.,;:!\?]', '', 'g')))::DOUBLE / greatest(length(text), 1), 4) AS punct_ratio,
       |  round((length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE / greatest(length(text), 1), 4) AS digit_ratio,
       |  round((length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')))::DOUBLE / greatest(length(text), 1), 4) AS upper_ratio,
-      |  round(len(list_intersect(list_distinct(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')), ['the','and','of','to','in','is','that','with','for','was']))::DOUBLE / 10.0, 4) AS stopword_cov
+      |  round(len(list_intersect(list_distinct(list_filter(regexp_split_to_array(lower(text), '[^\p{L}0-9]+'), x -> x <> '')), ['the','and','of','to','in','is','that','with','for','was']))::DOUBLE / 10.0, 4) AS stopword_cov
       |FROM documents ORDER BY doc_id""".stripMargin
 
   val textLangidSql: String = {
@@ -180,8 +218,41 @@ object OpsQueries {
   val coocPairs: Q = (s, dir) => {
     val d = docs(s, dir)
     val dict = ops.Cooccurrence.tokenDictionary(d, minFreq = 5, topV = 200)
-    ops.Cooccurrence.cooccurrence(d, dict).orderBy(col("l"), col("r"))
+    ops.Cooccurrence.cooccurrence(d, dict)
+      .withColumn("shard_l", col("shard_l").cast("long"))
+      .withColumn("shard_r", col("shard_r").cast("long"))
+      .orderBy(col("l"), col("r"))
   }
+
+  /** Shared CTE prefix: per-doc in-vocabulary token ranks (the compacted
+    * positions the window distance is measured over, mirroring docIds).
+    */
+  private val coocIdsCte: String =
+    """WITH toks AS (
+      |  SELECT doc_id, ts[i] AS token, i
+      |  FROM (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS ts
+      |        FROM documents),
+      |       LATERAL (SELECT unnest(generate_series(1, len(ts))) AS i) t),
+      |dict AS (
+      |  SELECT token, row_number() OVER (ORDER BY freq DESC, token ASC) - 1 AS id
+      |  FROM (SELECT token, count(*) AS freq FROM toks
+      |        GROUP BY token HAVING count(*) > 5
+      |        ORDER BY freq DESC, token ASC LIMIT 200)),
+      |ids AS (
+      |  SELECT t.doc_id, d.id, row_number() OVER (PARTITION BY t.doc_id ORDER BY t.i) AS rnk
+      |  FROM toks t JOIN dict d ON t.token = d.token),
+      |pairs AS (
+      |  SELECT least(a.id, b.id) AS l, greatest(a.id, b.id) AS r, 1.0 / (b.rnk - a.rnk) AS w
+      |  FROM ids a JOIN ids b ON a.doc_id = b.doc_id AND b.rnk > a.rnk AND b.rnk - a.rnk <= 10
+      |  UNION ALL SELECT id, id, 1.0 FROM ids),
+      |cooc AS (
+      |  SELECT l, r, round(sum(w), 4) AS weight FROM pairs GROUP BY l, r)""".stripMargin
+
+  val coocPairsSql: String =
+    coocIdsCte +
+      """
+        |SELECT l, r, weight, l % 8 AS shard_l, r % 8 AS shard_r
+        |FROM cooc ORDER BY l, r""".stripMargin
 
   /** A10: dense marginals over the dictionary id space. */
   val coocMarginals: Q = (s, dir) => {
@@ -190,6 +261,78 @@ object OpsQueries {
     val cooc = ops.Cooccurrence.cooccurrence(d, dict)
     ops.Cooccurrence.marginals(s, cooc, 200).orderBy(col("id"))
   }
+
+  val coocMarginalsSql: String =
+    coocIdsCte +
+      """,
+        |mass AS (
+        |  SELECT id, round(sum(weight), 4) AS mass FROM (
+        |    SELECT l AS id, weight FROM cooc
+        |    UNION ALL SELECT r AS id, weight FROM cooc WHERE l <> r)
+        |  GROUP BY id)
+        |SELECT g.id AS id, round(coalesce(m.mass, 0.0), 4) AS mass
+        |FROM (SELECT unnest(generate_series(0, 199)) AS id) g
+        |LEFT JOIN mass m ON g.id = m.id ORDER BY g.id""".stripMargin
+
+  // ---------------------------------------------------------------- graph
+
+  /** A4+A5 on text-derived graph edges: consecutive-token edges from the
+    * documents corpus (the kg social-graph normalization primitive,
+    * ExtractSocialGraph.java:75-96,176-195, exercised on a table DuckDB can
+    * see), freq ≥ 2 HAVING, per-src window-normalized weights.
+    */
+  val edgeNormalize: Q = (s, dir) => {
+    val toks = docs(s, dir)
+      .select(ops.TfIdf.tokensCol(col("text")).as("ts"))
+      .filter(size(col("ts")) >= 2)
+    val pairs = toks.select(explode(arrays_zip(
+        slice(col("ts"), lit(1), size(col("ts")) - 1).as("src"),
+        slice(col("ts"), lit(2), size(col("ts")) - 1).as("dst"))).as("p"))
+      .select(col("p.src").as("src"), col("p.dst").as("dst"))
+    val edges = pairs.groupBy(col("src"), col("dst"))
+      .agg(count(lit(1)).as("freq"))
+      .filter(col("freq") >= 2)
+    edges
+      .withColumn("w_norm", round(col("freq") /
+        sum(col("freq")).over(org.apache.spark.sql.expressions.Window.partitionBy(col("src"))), 4))
+      .orderBy(col("src"), col("dst"))
+  }
+
+  val edgeNormalizeSql: String =
+    """WITH d AS (
+      |  SELECT list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS ts
+      |  FROM documents),
+      |p AS (SELECT ts[i] AS src, ts[i+1] AS dst
+      |      FROM d, LATERAL (SELECT unnest(generate_series(1, len(ts)-1)) AS i) t),
+      |e AS (SELECT src, dst, count(*) AS freq FROM p GROUP BY src, dst HAVING count(*) >= 2)
+      |SELECT src, dst, freq, round(freq::DOUBLE / sum(freq) OVER (PARTITION BY src), 4) AS w_norm
+      |FROM e ORDER BY src, dst""".stripMargin
+
+  /** J8: weighted embedding average via the typed WeightedVecAvg Aggregator
+    * (explode→group→Σwᵢvᵢ/Σwᵢ), flattened to scalar rows for the oracle.
+    */
+  val embWeightedAvg: Q = (s, dir) => {
+    val f = udaf(new ops.Aggregators.WeightedVecAvg(64))
+    embs(s, dir)
+      .select(pmod(col("vec_id"), lit(10)).as("grp"),
+        col("embedding").cast("array<double>").as("v"),
+        (pmod(col("vec_id"), lit(7)) + 1).cast("double").as("w"))
+      .groupBy(col("grp"))
+      .agg(f(col("v"), col("w")).as("avg_vec"))
+      .select(col("grp"), posexplode(col("avg_vec")).as(Seq("dim", "x")))
+      .select(col("grp"), col("dim").cast("long").as("dim"),
+        (round(col("x"), 4) + lit(0.0)).as("x")) // +0.0 folds -0.0 → 0.0
+      .orderBy(col("grp"), col("dim"))
+  }
+
+  val embWeightedAvgSql: String =
+    """WITH e AS (
+      |  SELECT vec_id % 10 AS grp, (vec_id % 7 + 1)::DOUBLE AS w, embedding::DOUBLE[] AS v
+      |  FROM embeddings),
+      |x AS (SELECT grp, w, i - 1 AS dim, v[i] AS val
+      |      FROM e, LATERAL (SELECT unnest(generate_series(1, len(v))) AS i) t)
+      |SELECT grp, dim, round(sum(val * w) / sum(w), 4) + 0.0 AS x
+      |FROM x GROUP BY grp, dim ORDER BY grp, dim""".stripMargin
 
   // ---------------------------------------------------------------- media
 
@@ -204,6 +347,10 @@ object OpsQueries {
     "dedup_simhash" -> dedupSimhash,
     "dedup_ngram_jaccard" -> dedupNgram,
     "dedup_embedding_cosine" -> dedupEmbedding,
+    "dedup_minhash_brute" -> dedupMinhashBrute,
+    "dedup_ngram_brute" -> dedupNgramBrute,
+    "edge_normalize" -> edgeNormalize,
+    "emb_weighted_avg" -> embWeightedAvg,
     "ann_brute_topk" -> annBruteTopk,
     "ann_ivf_topk" -> annIvfTopk,
     "text_langid" -> textLangid,
@@ -220,6 +367,12 @@ object OpsQueries {
 
   def oracles: Map[String, String] = Map(
     "dedup_exact" -> dedupExactSql,
+    "dedup_minhash_brute" -> dedupMinhashBruteSql,
+    "dedup_ngram_brute" -> dedupNgramBruteSql,
+    "edge_normalize" -> edgeNormalizeSql,
+    "emb_weighted_avg" -> embWeightedAvgSql,
+    "cooc_pairs" -> coocPairsSql,
+    "cooc_marginals" -> coocMarginalsSql,
     "ann_brute_topk" -> annBruteTopkSql,
     "text_quality" -> textQualitySql,
     "text_langid" -> textLangidSql,

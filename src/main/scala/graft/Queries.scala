@@ -465,8 +465,10 @@ object Queries {
       |  ON g.user_id = c.user_id
       |ORDER BY g.user_id""".stripMargin
 
-  /** A11: json_agg per key (DumpResource.java:41-44) — rows-only (JSON
-    * serialization differs across engines).
+  /** A11: json_agg per key (DumpResource.java:41-44). The array is
+    * sort_array'd so the serialization is deterministic, which makes the
+    * stringified payload oracle-able: the DuckDB side rebuilds the exact
+    * same JSON text with an ordered string_agg.
     */
   val a11JsonAgg: Q = (s, dir) =>
     t(s, dir, "events")
@@ -474,6 +476,40 @@ object Queries {
       .agg(to_json(sort_array(collect_list(
         struct(col("event_id"), col("event_type"))))).as("payload"))
       .orderBy(col("user_id"))
+
+  val a11JsonAggSql: String =
+    """SELECT user_id,
+      |  '[' || string_agg(
+      |    '{"event_id":' || CAST(event_id AS VARCHAR) || ',"event_type":"' || event_type || '"}',
+      |    ',' ORDER BY event_id, event_type) || ']' AS payload
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** F2: camelCase identifier splitting (TextProcessor.java:129-147 hashtag
+    * camel-case break): a camel input is built from the part names, then
+    * split via the shared scalar Text.splitIdentifier — the same function
+    * the kg mention path uses for identifier-style display names.
+    */
+  val f2SplitIdentifier: Q = (s, dir) => {
+    val splitUdf = udf((x: String) => kg.Text.splitIdentifier(x).mkString(" "))
+    t(s, dir, "part")
+      .withColumn("camel", expr(
+        "concat_ws('', transform(split(p_name, ' '), w -> concat(upper(substring(w, 1, 1)), substring(w, 2, length(w)))))"))
+      .select(col("p_partkey"), col("camel"), splitUdf(col("camel")).as("words"))
+      .orderBy(col("p_partkey"))
+  }
+
+  val f2SplitIdentifierSql: String =
+    """SELECT p_partkey, camel,
+      |  array_to_string(list_filter(regexp_split_to_array(
+      |    replace(regexp_replace(regexp_replace(camel,
+      |      '([a-z0-9])([A-Z])', '\1 \2', 'g'),
+      |      '([A-Z]+)([A-Z][a-z])', '\1 \2', 'g'), '_', ' '),
+      |    '\s+'), w -> w <> ''), ' ') AS words
+      |FROM (SELECT p_partkey,
+      |        array_to_string(list_transform(string_split(p_name, ' '),
+      |          w -> upper(w[1]) || w[2:]), '') AS camel
+      |      FROM part)
+      |ORDER BY p_partkey""".stripMargin
 
   // ------------------------------------------------------------------
   // Streaming-flavored (SURVEY §2.10)
@@ -540,6 +576,7 @@ object Queries {
     "w5_zip_index" -> w5ZipIndex,
     "a10_zero_fill" -> a10ZeroFill,
     "a11_json_agg" -> a11JsonAgg,
+    "f2_split_identifier" -> f2SplitIdentifier,
   ) ++ OpsQueries.all ++ KgQueries.all
 
   def oracles: Map[String, String] = Map(
@@ -573,5 +610,7 @@ object Queries {
     "a17_first_non_null" -> a17FirstNonNullSql,
     "w5_zip_index" -> w5ZipIndexSql,
     "a10_zero_fill" -> a10ZeroFillSql,
+    "a11_json_agg" -> a11JsonAggSql,
+    "f2_split_identifier" -> f2SplitIdentifierSql,
   ) ++ OpsQueries.oracles ++ KgQueries.oracles
 }

@@ -22,7 +22,15 @@ import org.apache.spark.sql.functions._
   */
 object Canonicalize {
 
-  /** edges(src, dst) — undirected pairs; nodes are IRI strings. */
+  /** edges(src, dst) — undirected pairs; nodes are IRI strings.
+    *
+    * Single-hop min-label propagation: converges in O(diameter) rounds
+    * (strong-edge graphs here are entity→account stars, diameter 2, so
+    * 3-4 rounds in practice; NOT the O(log n) large-star/small-star bound —
+    * that variant rewires edges each round and isn't needed at these
+    * diameters). Throws if maxIter is exhausted before the fixpoint —
+    * silently returning non-converged labels would mean wrong components.
+    */
   def components(spark: SparkSession, edges: DataFrame, maxIter: Int = 20,
       verbose: Boolean = false): DataFrame = {
     // localCheckpoint (eager) BOTH materializes and TRUNCATES the logical
@@ -44,23 +52,29 @@ object Canonicalize {
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
-      // min over own label and all neighbors' labels
+      // min over own label and all neighbors' labels; the own row carries
+      // the previous label so the convergence check ("did any node's label
+      // change?") folds into the SAME aggregation — one job per round, no
+      // extra join (the old-label max is exact: each node has exactly one
+      // own row, neighbor rows carry null).
       val viaNeighbors = sym
         .join(labels.withColumnRenamed("node", "dst"), Seq("dst"))
-        .select(col("src").as("node"), col("comp"))
-      val next = viaNeighbors.unionByName(labels)
+        .select(col("src").as("node"), col("comp"), lit(null).cast("string").as("old"))
+      val next = viaNeighbors
+        .unionByName(labels.select(col("node"), col("comp"), col("comp").as("old")))
         .groupBy(col("node"))
-        .agg(min(col("comp")).as("comp"))
+        .agg(min(col("comp")).as("comp"), max(col("old")).as("old"))
         .localCheckpoint(true)
-      val changed = next.alias("n")
-        .join(labels.alias("o"), Seq("node"))
-        .filter(col("n.comp") =!= col("o.comp"))
-        .count()
-      labels = next
+      val changed = next.filter(col("comp") =!= col("old")).count()
+      labels = next.select(col("node"), col("comp"))
       converged = changed == 0
       iter += 1
       if (verbose) println(s"[cc] iter=$iter changed=$changed")
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connected components did not converge within $maxIter rounds — " +
+          "labels would be wrong; raise maxIter for high-diameter graphs")
     labels
   }
 

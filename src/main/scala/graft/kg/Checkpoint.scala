@@ -24,9 +24,24 @@ object Checkpoint {
 
   def stageDir(root: String, stage: String): String = s"$root/$stage"
 
-  def isDone(spark: SparkSession, root: String, stage: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(stageDir(root, stage), "_SUCCESS")
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  /** Stage output is reusable only if BOTH the commit marker exists AND the
+    * recorded parameter fingerprint matches the current run's — re-running
+    * a root with a different scale/KgConf must recompute, not silently mix
+    * configs (the _params file is written after the data commit, so a kill
+    * between the two reads as "not done" and recomputes idempotently).
+    */
+  def isDone(spark: SparkSession, root: String, stage: String,
+      params: String = ""): Boolean = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val success = new org.apache.hadoop.fs.Path(stageDir(root, stage), "_SUCCESS")
+    val fs = success.getFileSystem(conf)
+    if (!fs.exists(success)) return false
+    val pfile = new org.apache.hadoop.fs.Path(stageDir(root, stage), "_params.txt")
+    if (!fs.exists(pfile)) return params.isEmpty
+    val in = fs.open(pfile)
+    val stored = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+    stored == params
   }
 
   /** Order-independent per-bucket stats of a DataFrame (64 stable buckets —
@@ -49,19 +64,27 @@ object Checkpoint {
       .write.mode(SaveMode.Overwrite)
       .parquet(s"$root/_checkpoint/stage=$stage")
 
-  /** Run (or resume) one stage: if `_SUCCESS` exists, read the materialized
-    * output; else compute, write, and record checkpoint stats.
+  /** Run (or resume) one stage: if `_SUCCESS` exists and the params
+    * fingerprint matches, read the materialized output; else compute,
+    * write, stamp params, and record checkpoint stats.
     */
   def stage(spark: SparkSession, root: String, name: String,
-      partitionCols: Seq[String] = Nil)(compute: => DataFrame): DataFrame = {
+      partitionCols: Seq[String] = Nil, params: String = "")(
+      compute: => DataFrame): DataFrame = {
     val dir = stageDir(root, name)
-    if (isDone(spark, root, name)) {
+    if (isDone(spark, root, name, params)) {
       spark.read.parquet(dir)
     } else {
       val t0 = System.nanoTime()
       val df = compute
       val w = df.write.mode(SaveMode.Overwrite)
       (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(dir)
+      if (params.nonEmpty) {
+        val pfile = new org.apache.hadoop.fs.Path(dir, "_params.txt")
+        val fs = pfile.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val out = fs.create(pfile, true)
+        try out.write(params.getBytes("UTF-8")) finally out.close()
+      }
       val out = spark.read.parquet(dir)
       record(spark, root, name, out, (System.nanoTime() - t0) / 1000000L)
       out

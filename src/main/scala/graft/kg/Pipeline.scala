@@ -74,34 +74,37 @@ object Pipeline {
   def run(spark: SparkSession, scale: CorpusGen.Scale, root: String,
       conf: KgConf = KgConf()): Result = {
     sessionConf(spark)
-    val repos = Checkpoint.stage(spark, root, "corpus") {
+    // params fingerprint: a resumed root with a different scale or KgConf
+    // recomputes instead of silently reusing stale stage outputs
+    val params = s"$scale|$conf"
+    val repos = Checkpoint.stage(spark, root, "corpus", params = params) {
       CorpusGen.repos(spark, scale).toDF()
     }
-    val entities = Checkpoint.stage(spark, root, "entities") {
+    val entities = Checkpoint.stage(spark, root, "entities", params = params) {
       CorpusGen.entities(spark, scale).toDF()
     }
-    val accounts = Checkpoint.stage(spark, root, "accounts") {
+    val accounts = Checkpoint.stage(spark, root, "accounts", params = params) {
       CorpusGen.accounts(spark, scale).toDF()
     }
-    val mentions = Checkpoint.stage(spark, root, "mentions") {
+    val mentions = Checkpoint.stage(spark, root, "mentions", params = params) {
       Mentions.extract(repos)
     }
-    val dict = Checkpoint.stage(spark, root, "dictionary") {
+    val dict = Checkpoint.stage(spark, root, "dictionary", params = params) {
       Dictionary.build(spark, mentions, accounts)
     }
-    val cands = Checkpoint.stage(spark, root, "candidates") {
+    val cands = Checkpoint.stage(spark, root, "candidates", params = params) {
       CandidateGen.candidates(spark, entities, dict, conf)
     }
-    val aligned = Checkpoint.stage(spark, root, "alignments") {
+    val aligned = Checkpoint.stage(spark, root, "alignments", params = params) {
       Scorer.score(cands, entities, accounts, conf)
     }
-    val reps = Checkpoint.stage(spark, root, "representatives") {
+    val reps = Checkpoint.stage(spark, root, "representatives", params = params) {
       Canonicalize.representatives(spark, aligned, conf)
     }
-    val triples = Checkpoint.stage(spark, root, "triples", Seq("pred")) {
+    val triples = Checkpoint.stage(spark, root, "triples", Seq("pred"), params) {
       Triples.materialize(aligned, reps)
     }
-    val lineage = Checkpoint.stage(spark, root, "lineage") {
+    val lineage = Checkpoint.stage(spark, root, "lineage", params = params) {
       mentions.select(col("repo"), col("path"), col("commit"), col("content_sha"))
         .distinct()
     }

@@ -1,17 +1,38 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.catalyst.expressions.XXH64
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Deduplication operators for large-scale training-data pipelines, over a
   * documents(doc_id, text, …) table.
   *
-  * All variants follow the same scale shape: cheap per-row signature →
-  * bucket by signature (band) → candidate pairs ONLY within buckets →
-  * exact verification on the candidates. No all-pairs joins anywhere; the
-  * only shuffles are the bucket groupBys, and signatures are built from
-  * codegen'd built-ins (split/transform/aggregate/xxhash64), not UDFs —
-  * except SimHash, whose 64-lane bit loop is one scalar UDF.
+  * All variants follow the same scale shape:
+  *
+  *   1. exact-dup pre-pass — collapse sha256-identical docs to one
+  *      representative (a duplicate-heavy corpus is the NORM at 100 TB;
+  *      without this, every group of g identical docs lands g rows in the
+  *      same LSH bucket and the bucket join degenerates to O(g²) for pairs
+  *      the cheap hash already proves identical);
+  *   2. per-row signature — ONE compiled pass per doc (a scalar kernel that
+  *      reproduces Spark's xxhash64 values bit-for-bit via catalyst XXH64,
+  *      so the banding is identical to the equivalent built-in expression
+  *      form but ~50× cheaper than interpreted higher-order functions);
+  *   3. band bucket join with a SIZE CAP — bucket sizes are counted first
+  *      and buckets above `bucketCap` are dropped from pair generation
+  *      (with L independent bands a true near-dup pair still collides in
+  *      another band w.h.p.; the cap bounds worst-case fan-out to
+  *      O(buckets × cap²) instead of O(N²));
+  *   4. exact verification on the candidates only (the expensive token/gram
+  *      sets are computed for candidate doc_ids alone, via a semi-join);
+  *   5. pairs expanded back across exact-dup groups (identical docs have
+  *      identical signatures, so group-cross pairs inherit the
+  *      representative pair's similarity and in-group pairs are 1.0).
+  *
+  * No all-pairs joins anywhere; the only shuffles are the bucket groupBys
+  * and the candidate semi-join.
   */
 object Dedup {
 
@@ -26,61 +47,267 @@ object Dedup {
       .groupBy(col("sha"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  // ---------------------------------------------------------------- minhash
+  // ------------------------------------------------- scalar hash kernels
 
-  def tokensCol(text: Column): Column =
-    filter(split(lower(text), "[^a-z0-9]+"), t => t =!= "")
+  /** Seed of Spark's xxhash64(...) expression. */
+  private val XxSeed = 42L
 
-  /** k-token shingles via built-ins: slice a token array at every offset. */
-  def shinglesCol(tokens: Column, k: Int): Column =
-    when(size(tokens) < k, array(concat_ws(" ", tokens)))
-      .otherwise(transform(sequence(lit(0), size(tokens) - k),
-        i => concat_ws(" ", slice(tokens, i + 1, lit(k)))))
-
-  /** One minhash lane: min over shingles of a seeded 64-bit hash. */
-  private def minhashLane(shingles: Column, lane: Int): Column =
-    array_min(transform(shingles, s => xxhash64(lit(lane), s)))
-
-  /** signatures(doc_id, band_id, band_hash): H minhash lanes split into
-    * `bands` bands of H/bands rows each (standard MinHash+LSH banding).
+  /** Bit-exact scalar mirror of the Column form
+    * `xxhash64(lit(lane), shingle)` (HashExpression folds children:
+    * int literal first, then the string).
     */
-  def minhashBands(docs: DataFrame, shingleK: Int = 3, lanes: Int = 16,
-      bands: Int = 4): DataFrame = {
-    val sh = shinglesCol(tokensCol(col("text")), shingleK)
-    val withSig = docs.select(col("doc_id"), sh.as("shingles"))
-      .withColumn("sig", array((0 until lanes).map(i => minhashLane(col("shingles"), i)): _*))
-    val rows = lanes / bands
-    val bandCols = (0 until bands).map { b =>
-      struct(lit(b).as("band_id"),
-        xxhash64(slice(col("sig"), b * rows + 1, rows)).as("band_hash"))
-    }
-    withSig.select(col("doc_id"), explode(array(bandCols: _*)).as("b"))
-      .select(col("doc_id"), col("b.band_id"), col("b.band_hash"))
+  def xxLane(lane: Int, s: String): Long =
+    XXH64.hashUTF8String(UTF8String.fromString(s), XXH64.hashInt(lane, XxSeed))
+
+  /** Bit-exact scalar mirror of `xxhash64(array<long>)` (fold hashLong). */
+  def xxLongArray(a: Array[Long], from: Int, until: Int): Long = {
+    var acc = XxSeed
+    var i = from
+    while (i < until) { acc = XXH64.hashLong(a(i), acc); i += 1 }
+    acc
   }
 
-  /** Candidate pairs from shared bands, verified with exact token-set
-    * Jaccard ≥ threshold. Returns (doc_a, doc_b, jaccard), doc_a < doc_b.
+  /** Mirror of the Column form `filter(split(lower(text), "[^a-z0-9]+"),
+    * _ =!= "")`.
     */
-  def minhashNearDups(docs: DataFrame, shingleK: Int = 3, lanes: Int = 16,
-      bands: Int = 4, threshold: Double = 0.7): DataFrame = {
-    val sigs = minhashBands(docs, shingleK, lanes, bands)
-    val pairs = sigs.alias("l")
-      .join(sigs.alias("r"),
+  def tokensOf(text: String): Array[String] = {
+    if (text == null) return Array.empty
+    text.toLowerCase.split("[^a-z0-9]+", -1).filter(_.nonEmpty)
+  }
+
+  /** k-token shingles; <k tokens → the single space-joined token string
+    * (mirror of shinglesCol below).
+    */
+  def tokenShingles(tokens: Array[String], k: Int): Array[String] =
+    if (tokens.length < k) Array(tokens.mkString(" "))
+    else Array.tabulate(tokens.length - k + 1)(i =>
+      tokens.slice(i, i + k).mkString(" "))
+
+  /** MinHash band hashes of a shingle multiset: `lanes` min-hashes split
+    * into `bands` groups, each group folded with xxhash64 — one compiled
+    * pass over the shingles (lane mins tracked simultaneously).
+    */
+  def minhashBandHashes(shingles: Array[String], lanes: Int, bands: Int): Array[Long] = {
+    val mins = Array.fill(lanes)(Long.MaxValue)
+    var si = 0
+    while (si < shingles.length) {
+      val utf8 = UTF8String.fromString(shingles(si))
+      var l = 0
+      while (l < lanes) {
+        val h = XXH64.hashUTF8String(utf8, XXH64.hashInt(l, XxSeed))
+        if (h < mins(l)) mins(l) = h
+        l += 1
+      }
+      si += 1
+    }
+    val rows = lanes / bands
+    Array.tabulate(bands)(b => xxLongArray(mins, b * rows, (b + 1) * rows))
+  }
+
+  /** |a ∩ b| / |a ∪ b| over distinct-element string arrays. */
+  def setJaccard(a: Seq[String], b: Seq[String]): Double = {
+    if (a == null || b == null || a.isEmpty || b.isEmpty) return 0.0
+    val sa = a.toSet
+    var inter = 0
+    b.foreach(x => if (sa.contains(x)) inter += 1)
+    val union = sa.size + b.size - inter
+    if (union == 0) 0.0 else inter.toDouble / union.toDouble
+  }
+
+  /** Jaccard over SORTED distinct long arrays (merge intersection — the
+    * brute-force all-pairs path hashes each gram to 64 bits once per doc,
+    * then every pair comparison is a primitive merge instead of string-set
+    * hashing; a cross-doc hash collision would need ~2⁶⁴/|grams|² luck).
+    */
+  def sortedJaccard(a: Array[Long], b: Array[Long]): Double = {
+    if (a.length == 0 || b.length == 0) return 0.0
+    var i = 0; var j = 0; var inter = 0
+    while (i < a.length && j < b.length) {
+      if (a(i) == b(j)) { inter += 1; i += 1; j += 1 }
+      else if (a(i) < b(j)) i += 1
+      else j += 1
+    }
+    val union = a.length + b.length - inter
+    inter.toDouble / union.toDouble
+  }
+
+  /** Distinct sorted 64-bit hashes of a string set (lane-0 xxhash). */
+  def hashedSet(xs: Array[String]): Array[Long] = {
+    val out = xs.map(x => xxLane(0, x)).distinct
+    java.util.Arrays.sort(out)
+    out
+  }
+
+  /** Primitive float[] view of a UDF's Seq[Float] input (avoids per-element
+    * boxing in the hot verify loops).
+    */
+  def floatArr(s: Seq[Float]): Array[Float] = s match {
+    case a: scala.collection.immutable.ArraySeq.ofFloat => a.unsafeArray
+    case null => Array.empty
+    case other => other.toArray
+  }
+
+  def longArr(s: Seq[Long]): Array[Long] = s match {
+    case a: scala.collection.immutable.ArraySeq.ofLong => a.unsafeArray
+    case null => Array.empty
+    case other => other.toArray
+  }
+
+  // ---------------------------------------------------- generic skeleton
+
+  /** (doc_a, doc_b) candidate pairs from shared band keys, with hot buckets
+    * (> bucketCap rows) excluded from pair generation. `sigs` is
+    * (doc_id, band_id, band_hash).
+    */
+  def candidatePairs(sigs: DataFrame, bucketCap: Int): DataFrame = {
+    val sized = sigs.withColumn("bucket_sz",
+      count(lit(1)).over(Window.partitionBy(col("band_id"), col("band_hash"))))
+    // localCheckpoint: the self-join consumes this frame on BOTH sides —
+    // without it the whole signature kernel re-runs over the corpus twice.
+    // The frame is tiny (N × bands rows of (id, int, long)).
+    val ok = sized.filter(col("bucket_sz") <= bucketCap)
+      .select(col("doc_id"), col("band_id"), col("band_hash"))
+      .localCheckpoint(true)
+    ok.alias("l")
+      .join(ok.alias("r"),
         col("l.band_id") === col("r.band_id") &&
           col("l.band_hash") === col("r.band_hash") &&
           col("l.doc_id") < col("r.doc_id"))
       .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
       .distinct()
-    val sets = docs.select(col("doc_id"),
-      array_distinct(shinglesCol(tokensCol(col("text")), shingleK)).as("sset"))
-    pairs
-      .join(sets.select(col("doc_id").as("doc_a"), col("sset").as("set_a")), Seq("doc_a"))
-      .join(sets.select(col("doc_id").as("doc_b"), col("sset").as("set_b")), Seq("doc_b"))
-      .withColumn("jaccard",
-        size(array_intersect(col("set_a"), col("set_b"))).cast("double") /
-          size(array_union(col("set_a"), col("set_b"))).cast("double"))
-      .filter(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** Buckets dropped by `bucketCap` (diagnostic surface — "no silent caps"):
+    * (band_id, band_hash, bucket_sz) for every hot bucket.
+    */
+  def droppedBuckets(sigs: DataFrame, bucketCap: Int): DataFrame =
+    sigs.groupBy(col("band_id"), col("band_hash"))
+      .agg(count(lit(1)).as("bucket_sz"))
+      .filter(col("bucket_sz") > bucketCap)
+
+  /** Run `nearDups` on exact-dup representatives only, then expand the pair
+    * list back across sha-identical groups: in-group pairs get similarity
+    * 1.0, cross-group pairs inherit the representatives' similarity.
+    * `simCol` names the similarity column produced by `nearDups`.
+    */
+  def withExactPrepass(docs: DataFrame, simCol: String, one: Column)(
+      nearDups: DataFrame => DataFrame): DataFrame = {
+    val keyed = docs.withColumn("rep_id",
+      min(col("doc_id")).over(Window.partitionBy(sha2(col("text"), 256))))
+    val members = keyed.select(col("rep_id"), col("doc_id"))
+    val repDocs = keyed.filter(col("doc_id") === col("rep_id")).drop("rep_id")
+    val repPairs = nearDups(repDocs)
+    val cross = repPairs
+      .join(members.select(col("rep_id").as("doc_a"), col("doc_id").as("ma")), Seq("doc_a"))
+      .join(members.select(col("rep_id").as("doc_b"), col("doc_id").as("mb")), Seq("doc_b"))
+      .select(least(col("ma"), col("mb")).as("doc_a"),
+        greatest(col("ma"), col("mb")).as("doc_b"), col(simCol))
+    val intra = members.alias("l")
+      .join(members.alias("r"),
+        col("l.rep_id") === col("r.rep_id") && col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
+        one.as(simCol))
+    cross.unionByName(intra)
+  }
+
+  // ---------------------------------------------------------------- minhash
+
+  def tokensCol(text: Column): Column =
+    filter(split(lower(text), "[^a-z0-9]+"), t => t =!= "")
+
+  /** k-token shingles via built-ins: slice a token array at every offset.
+    * (Kept as the reference form; the hot paths use the compiled kernel
+    * `tokenShingles`, which mirrors this bit-for-bit.)
+    */
+  def shinglesCol(tokens: Column, k: Int): Column =
+    when(size(tokens) < k, array(concat_ws(" ", tokens)))
+      .otherwise(transform(sequence(lit(0), size(tokens) - k),
+        i => concat_ws(" ", slice(tokens, i + 1, lit(k)))))
+
+  /** signatures(doc_id, band_id, band_hash): H minhash lanes split into
+    * `bands` bands of H/bands rows each (standard MinHash+LSH banding).
+    * One compiled kernel pass per doc; hash values identical to the
+    * xxhash64-expression formulation.
+    */
+  def minhashBands(docs: DataFrame, shingleK: Int = 3, lanes: Int = 16,
+      bands: Int = 4): DataFrame = {
+    val bandsUdf = udf((text: String) =>
+      minhashBandHashes(tokenShingles(tokensOf(text), shingleK), lanes, bands))
+    docs.select(col("doc_id"), posexplode(bandsUdf(col("text"))).as(Seq("band_id", "band_hash")))
+  }
+
+  private val shingleSetUdf3 = udf((text: String) =>
+    hashedSet(tokenShingles(tokensOf(text), 3)))
+
+  private val jaccardUdf = udf((a: Seq[Long], b: Seq[Long]) =>
+    sortedJaccard(longArr(a), longArr(b)))
+
+  /** Candidate pairs from shared bands, verified with exact token-set
+    * Jaccard ≥ threshold. Returns (doc_a, doc_b, jaccard), doc_a < doc_b.
+    */
+  def minhashNearDups(docs: DataFrame, shingleK: Int = 3, lanes: Int = 16,
+      bands: Int = 4, threshold: Double = 0.7, bucketCap: Int = 256,
+      exactPrepass: Boolean = true): DataFrame = {
+    val setUdf =
+      if (shingleK == 3) shingleSetUdf3
+      else udf((text: String) => hashedSet(tokenShingles(tokensOf(text), shingleK)))
+    def core(d: DataFrame): DataFrame = {
+      val pairs = candidatePairs(minhashBands(d, shingleK, lanes, bands), bucketCap)
+      val candIds = pairs.select(col("doc_a").as("doc_id"))
+        .unionByName(pairs.select(col("doc_b").as("doc_id"))).distinct()
+      val sets = d.join(candIds, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), setUdf(col("text")).as("sset"))
+      pairs
+        .join(sets.select(col("doc_id").as("doc_a"), col("sset").as("set_a")), Seq("doc_a"))
+        .join(sets.select(col("doc_id").as("doc_b"), col("sset").as("set_b")), Seq("doc_b"))
+        .withColumn("jaccard", jaccardUdf(col("set_a"), col("set_b")))
+        .filter(col("jaccard") >= threshold)
+        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+    }
+    if (exactPrepass) withExactPrepass(docs, "jaccard", lit(1.0))(core)
+    else core(docs)
+  }
+
+  /** All-pairs brute force over a SMALL (id, hashed-set) table WITHOUT
+    * materializing pair rows: the whole table is broadcast as a plain
+    * array, each row flatMaps its matches against the broadcast copy —
+    * the cross product exists only inside the compiled loop, never as
+    * joined rows carrying both arrays.
+    */
+  private def bruteMatches(sets: DataFrame, threshold: Double,
+      outA: String, outB: String, simName: String): DataFrame = {
+    val spark = sets.sparkSession
+    val gathered = sets.collect().map(r =>
+      (r.getLong(0), longArr(r.getSeq[Long](1)))).sortBy(_._1)
+    val bc = spark.sparkContext.broadcast(gathered)
+    val matchUdf = udf((id: Long, g: Seq[Long]) => {
+      val ga = longArr(g)
+      val all = bc.value
+      val out = Seq.newBuilder[(Long, Double)]
+      var i = 0
+      while (i < all.length) {
+        if (all(i)._1 > id) {
+          val j = sortedJaccard(ga, all(i)._2)
+          if (j >= threshold) out += ((all(i)._1, j))
+        }
+        i += 1
+      }
+      out.result()
+    })
+    sets.select(col("doc_id").as(outA),
+        explode(matchUdf(col("doc_id"), col("sset"))).as("m"))
+      .select(col(outA), col("m._1").as(outB), round(col("m._2"), 4).as(simName))
+  }
+
+  /** Exact all-pairs token-shingle Jaccard ≥ threshold over a SMALL doc set
+    * — the brute-force ground truth the LSH path is verified against
+    * (recall specs + the DuckDB oracle for the exact-verify stage).
+    */
+  def minhashBrute(docs: DataFrame, shingleK: Int = 3,
+      threshold: Double = 0.7): DataFrame = {
+    val setUdf = udf((text: String) => hashedSet(tokenShingles(tokensOf(text), shingleK)))
+    val sets = docs.select(col("doc_id"), setUdf(col("text")).as("sset"))
+    bruteMatches(sets, threshold, "doc_a", "doc_b", "jaccard")
   }
 
   // ---------------------------------------------------------------- simhash
@@ -109,112 +336,263 @@ object Dedup {
   /** Near-dups by SimHash: band the 64 bits into 4×16-bit keys (any pair
     * within Hamming distance 3 shares ≥1 exact band), verify with
     * bit_count(xor) ≤ maxHamming. Returns (doc_a, doc_b, hamming).
+    * `bucketCap` bounds the per-band fan-out like the other variants —
+    * note capping weakens the "≥1 shared band" guarantee for members of a
+    * dropped bucket, so the default is high; the exact pre-pass keeps
+    * duplicate-heavy buckets from forming in the first place.
     */
-  def simhashNearDups(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val withSim = docs
-      .select(col("doc_id"), simhashUdf(tokensCol(col("text"))).as("sim"))
-    val banded = withSim.select(col("doc_id"), col("sim"),
-      explode(array((0 until 4).map(b =>
-        struct(lit(b).as("band_id"),
-          shiftrightunsigned(col("sim"), b * 16).bitwiseAND(lit(0xFFFFL)).as("band_key"))): _*))
-        .as("b"))
-      .select(col("doc_id"), col("sim"), col("b.band_id"), col("b.band_key"))
-    banded.alias("l").join(banded.alias("r"),
-        col("l.band_id") === col("r.band_id") &&
-          col("l.band_key") === col("r.band_key") &&
-          col("l.doc_id") < col("r.doc_id"))
-      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
-        bit_count(col("l.sim").bitwiseXOR(col("r.sim"))).as("hamming"))
-      .distinct()
-      .filter(col("hamming") <= maxHamming)
+  def simhashNearDups(docs: DataFrame, maxHamming: Int = 3,
+      bucketCap: Int = 4096, exactPrepass: Boolean = true): DataFrame = {
+    def core(d: DataFrame): DataFrame = {
+      val withSim = d
+        .select(col("doc_id"), simhashUdf(tokensCol(col("text"))).as("sim"))
+      val banded = withSim.select(col("doc_id"), col("sim"),
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("band_id"),
+            shiftrightunsigned(col("sim"), b * 16).bitwiseAND(lit(0xFFFFL)).as("band_hash"))): _*))
+          .as("b"))
+        .select(col("doc_id"), col("sim"), col("b.band_id"), col("b.band_hash"))
+      val sized = banded.withColumn("bucket_sz",
+        count(lit(1)).over(Window.partitionBy(col("band_id"), col("band_hash"))))
+        .localCheckpoint(true)
+      val ok = sized.filter(col("bucket_sz") <= bucketCap)
+      ok.alias("l").join(ok.alias("r"),
+          col("l.band_id") === col("r.band_id") &&
+            col("l.band_hash") === col("r.band_hash") &&
+            col("l.doc_id") < col("r.doc_id"))
+        .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
+          bit_count(col("l.sim").bitwiseXOR(col("r.sim"))).as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= maxHamming)
+    }
+    if (exactPrepass)
+      withExactPrepass(docs, "hamming", lit(0L))(core)
+        .select(col("doc_a"), col("doc_b"), col("hamming").cast("int").as("hamming"))
+    else core(docs)
   }
 
   // ---------------------------------------------------------------- ngram
+
+  /** Whitespace-normalized lowercase text (mirror of the Column form
+    * `trim(regexp_replace(lower(text), "\\s+", " "))`).
+    */
+  def normText(text: String): String =
+    if (text == null) "" else text.toLowerCase.replaceAll("\\s+", " ").trim
+
+  /** Distinct character n-grams of the normalized text. */
+  def charGrams(text: String, n: Int): Array[String] = {
+    val norm = normText(text)
+    if (norm.length < n) Array(norm)
+    else {
+      val seen = new java.util.LinkedHashSet[String]()
+      var i = 0
+      while (i + n <= norm.length) { seen.add(norm.substring(i, i + n)); i += 1 }
+      val out = new Array[String](seen.size)
+      seen.toArray(out)
+      out
+    }
+  }
+
+  /** signatures(doc_id, band_id, band_hash) over character-n-gram sets. */
+  def ngramBands(docs: DataFrame, n: Int = 4, lanes: Int = 16,
+      bands: Int = 4): DataFrame = {
+    val bandsUdf = udf((text: String) =>
+      minhashBandHashes(charGrams(text, n), lanes, bands))
+    docs.select(col("doc_id"), posexplode(bandsUdf(col("text"))).as(Seq("band_id", "band_hash")))
+  }
 
   /** Character-n-gram Jaccard near-dup. Candidate blocking is BANDED
     * minhash over the gram set (lanes/bands as in minhashNearDups): a
     * band key combines `lanes/bands` minhashes, so buckets stay selective
     * even on a degenerate corpus with a tiny gram universe, where single-
     * lane or length-bucket blocking degenerates to O(N²) within-bucket
-    * pairs (measured: length buckets 215 s, 1-lane minhash 490 s, banded
-    * ~2 s on 5k docs at sf0.1). A pair at Jaccard j collides in ≥1 of 4
-    * 4-lane bands with prob 1-(1-j⁴)⁴ ≈ 0.88 at j=0.8, ≈0.997 at j=0.9.
-    * Exact Jaccard verifies every candidate.
+    * pairs. A pair at Jaccard j collides in ≥1 of 4 4-lane bands with
+    * prob 1-(1-j⁴)⁴ ≈ 0.88 at j=0.8, ≈0.997 at j=0.9. Exact Jaccard
+    * verifies every candidate; gram sets are computed ONCE, for candidate
+    * doc_ids only.
     */
   def ngramJaccard(docs: DataFrame, n: Int = 4, threshold: Double = 0.8,
-      lanes: Int = 16, bands: Int = 4): DataFrame = {
-    val norm = trim(regexp_replace(lower(col("text")), "\\s+", " "))
-    // dynamic-start substring needs the SQL form; still pure built-ins
-    val withGrams = docs.withColumn("norm", norm)
-      .withColumn("grams", array_distinct(
-        expr(s"CASE WHEN length(norm) < $n THEN array(norm) " +
-          s"ELSE transform(sequence(1, length(norm) - ${n - 1}), i -> substring(norm, i, $n)) END")))
-      .select(col("doc_id"), col("grams"))
-    val rows = lanes / bands
-    val withSig = withGrams.withColumn("sig",
-      array((0 until lanes).map(l =>
-        array_min(transform(col("grams"), g => xxhash64(lit(l), g)))): _*))
-    val keyed = withSig.select(col("doc_id"), col("grams"),
-      explode(array((0 until bands).map(b =>
-        struct(lit(b).as("band_id"),
-          xxhash64(slice(col("sig"), b * rows + 1, rows)).as("band_hash"))): _*))
-        .as("k"))
-      .select(col("doc_id"), col("grams"), col("k.band_id"), col("k.band_hash"))
-    keyed.alias("l").join(keyed.alias("r"),
-        col("l.band_id") === col("r.band_id") &&
-          col("l.band_hash") === col("r.band_hash") &&
-          col("l.doc_id") < col("r.doc_id"))
-      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
-        col("l.grams").as("grams_a"), col("r.grams").as("grams_b"))
-      .dropDuplicates("doc_a", "doc_b")
-      .withColumn("jaccard",
-        size(array_intersect(col("grams_a"), col("grams_b"))).cast("double") /
-          size(array_union(col("grams_a"), col("grams_b"))).cast("double"))
-      .filter(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+      lanes: Int = 16, bands: Int = 4, bucketCap: Int = 256,
+      exactPrepass: Boolean = true): DataFrame = {
+    val gramsUdf = udf((text: String) => hashedSet(charGrams(text, n)))
+    def core(d: DataFrame): DataFrame = {
+      val pairs = candidatePairs(ngramBands(d, n, lanes, bands), bucketCap)
+      val candIds = pairs.select(col("doc_a").as("doc_id"))
+        .unionByName(pairs.select(col("doc_b").as("doc_id"))).distinct()
+      val sets = d.join(candIds, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), gramsUdf(col("text")).as("grams"))
+      pairs
+        .join(sets.select(col("doc_id").as("doc_a"), col("grams").as("grams_a")), Seq("doc_a"))
+        .join(sets.select(col("doc_id").as("doc_b"), col("grams").as("grams_b")), Seq("doc_b"))
+        .withColumn("jaccard", jaccardUdf(col("grams_a"), col("grams_b")))
+        .filter(col("jaccard") >= threshold)
+        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+    }
+    if (exactPrepass) withExactPrepass(docs, "jaccard", lit(1.0))(core)
+    else core(docs)
+  }
+
+  /** Exact all-pairs n-gram Jaccard over a SMALL doc set (ground truth). */
+  def ngramBrute(docs: DataFrame, n: Int = 4, threshold: Double = 0.8): DataFrame = {
+    val gramsUdf = udf((text: String) => hashedSet(charGrams(text, n)))
+    val sets = docs.select(col("doc_id"), gramsUdf(col("text")).as("sset"))
+    bruteMatches(sets, threshold, "doc_a", "doc_b", "jaccard")
   }
 
   // ---------------------------------------------------------------- embedding
 
+  /** Number of hyperplanes per hash table, scaled with corpus size so the
+    * expected bucket occupancy stays ~targetBucket: planes ≈ log₂(N/target).
+    * (The round-1 constant planes=4 meant 16 buckets/table forever —
+    * bucket occupancy grows linearly with N → quadratic candidate pairs.)
+    */
+  def planesFor(nVec: Long, targetBucket: Int = 32): Int =
+    math.max(4, math.min(24,
+      math.ceil(math.log(math.max(nVec, 1).toDouble / targetBucket) / math.log(2.0)).toInt))
+
+  /** Number of OR-amplification tables needed for `recall` at cosine
+    * `threshold` given `planes` sign bits per table:
+    * p_plane = 1 − acos(cos)/π; p_table = p_plane^planes;
+    * tables = ln(1−recall)/ln(1−p_table).
+    */
+  def tablesFor(planes: Int, threshold: Double, recall: Double = 0.95,
+      maxTables: Int = 64): Int = {
+    val pPlane = 1.0 - math.acos(math.min(math.max(threshold, -1.0), 1.0)) / math.Pi
+    val pTable = math.pow(pPlane, planes)
+    if (pTable >= 1.0) 1
+    else math.min(maxTables,
+      math.max(1, math.ceil(math.log(1.0 - recall) / math.log(1.0 - pTable)).toInt))
+  }
+
+  /** Fixed pseudo-random hyperplane as a scalar array (shared by the kernel
+    * and the legacy Column form).
+    */
+  def planeVec(p: Int, dim: Int): Array[Double] =
+    Array.tabulate(dim) { j =>
+      val h = graft.kg.CorpusGen.mix(0x51ab5ea1L * (p + 1) + j)
+      ((h >>> 11).toDouble / (1L << 53).toDouble) * 2.0 - 1.0
+    }
+
+  /** Fixed pseudo-random hyperplane as an array literal column. */
+  def planeCol(p: Int, dim: Int): Column =
+    array(planeVec(p, dim).map(lit(_)).toSeq: _*)
+
+  /** All tables' sign-bit bucket keys for one vector — one compiled pass
+    * over a precomputed (tables×planes)×dim plane matrix.
+    */
+  def embeddingBits(v0: Seq[Float], planes: Int, tables: Int, dim: Int,
+      mat: Array[Array[Double]]): Array[Long] = {
+    val v = floatArr(v0)
+    val out = new Array[Long](tables)
+    var t = 0
+    while (t < tables) {
+      var bits = 0L
+      var p = 0
+      while (p < planes) {
+        val plane = mat(t * planes + p)
+        var dot = 0.0
+        var j = 0
+        val n = math.min(dim, v.length)
+        while (j < n) { dot += v(j).toDouble * plane(j); j += 1 }
+        if (dot >= 0) bits |= (1L << p)
+        p += 1
+      }
+      out(t) = bits
+      t += 1
+    }
+    out
+  }
+
+  /** (vec_id, table_id, bits) signature rows for `nVec` vectors. */
+  def embeddingBands(embs: DataFrame, nVec: Long, dim: Int = 64,
+      tables: Int = 16, planesOverride: Int = -1): DataFrame = {
+    val planes = if (planesOverride > 0) planesOverride else planesFor(nVec)
+    val mat = Array.tabulate(tables * planes)(p => planeVec(p, dim))
+    val bitsUdf = udf((v: Seq[Float]) => embeddingBits(v, planes, tables, dim, mat))
+    embs.select(col("vec_id"), posexplode(bitsUdf(col("embedding"))).as(Seq("table_id", "bits")))
+  }
+
+  /** Cosine of two float vectors (index-order accumulation — matches the
+    * zip_with/aggregate Column form).
+    */
+  def cosineF(a0: Seq[Float], b0: Seq[Float]): Double = {
+    if (a0 == null || b0 == null) return 0.0
+    cosineArr(floatArr(a0), floatArr(b0))
+  }
+
+  def cosineArr(a: Array[Float], b: Array[Float]): Double = {
+    val n = math.min(a.length, b.length)
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  private val cosineFUdf = udf((a: Seq[Float], b: Seq[Float]) => cosineF(a, b))
+
   /** Embedding-cosine near-dup over embeddings(vec_id, embedding): standard
-    * multi-table random-hyperplane LSH — `tables` independent hash tables of
-    * `planes` sign bits each; a pair is a candidate if it collides in ANY
-    * table (OR-amplification lifts recall at moderate cosine); candidates
-    * verified exactly with zip_with/aggregate cosine ≥ threshold.
+    * multi-table random-hyperplane LSH — `tables` independent hash tables
+    * of `planes` sign bits each (planes scales ~log₂N via planesFor, tables
+    * sized by tablesFor for the recall target); a pair is a candidate if it
+    * collides in ANY table (OR-amplification); candidates verified exactly
+    * with a compiled cosine ≥ threshold.
     *
     * At scale: each vector emits `tables` (table_id, bits) keys; the only
-    * shuffle is the bucket self-join, whose fan-out is controlled by
-    * `planes` (bigger = smaller buckets).
+    * shuffle is the bucket self-join, whose fan-out is bounded by
+    * `bucketCap`.
     */
-  def embeddingNearDups(embs: DataFrame, dim: Int = 64, planes: Int = 4,
-      tables: Int = 8, threshold: Double = 0.35): DataFrame = {
-    def bucketBits(tbl: Int): Column =
-      (0 until planes).map { p =>
-        val dot = aggregate(
-          zip_with(col("embedding"), planeCol(tbl * planes + p, dim),
-            (x, h) => x.cast("double") * h),
-          lit(0.0), (acc, v) => acc + v)
-        when(dot >= 0, lit(1L << p)).otherwise(lit(0L))
-      }.reduce((a, b) => a + b)
-    val keyed = embs.select(col("vec_id"), col("embedding"),
-      explode(array((0 until tables).map(tb =>
-        struct(lit(tb).as("table_id"), bucketBits(tb).as("bits"))): _*)).as("b"))
-      .select(col("vec_id"), col("embedding"), col("b.table_id"), col("b.bits"))
-    keyed.alias("l").join(keyed.alias("r"),
-        col("l.table_id") === col("r.table_id") && col("l.bits") === col("r.bits") &&
-          col("l.vec_id") < col("r.vec_id"))
-      .select(col("l.vec_id").as("vec_a"), col("r.vec_id").as("vec_b"),
-        col("l.embedding").as("emb_a"), col("r.embedding").as("emb_b"))
-      .dropDuplicates("vec_a", "vec_b")
-      .withColumn("cos", Similarity.cosineCol(col("emb_a"), col("emb_b")))
+  def embeddingNearDups(embs: DataFrame, nVec: Long = -1L, dim: Int = 64,
+      threshold: Double = 0.35, recall: Double = 0.95,
+      bucketCap: Int = 1024): DataFrame = {
+    val n = if (nVec >= 0) nVec else embs.count()
+    val planes = planesFor(n)
+    val tables = tablesFor(planes, threshold, recall)
+    val keyed = embeddingBands(embs, n, dim, tables)
+      .withColumnRenamed("table_id", "band_id")
+      .withColumnRenamed("bits", "band_hash")
+      .withColumnRenamed("vec_id", "doc_id")
+    val pairs = candidatePairs(keyed, bucketCap)
+      .select(col("doc_a").as("vec_a"), col("doc_b").as("vec_b"))
+    val candIds = pairs.select(col("vec_a").as("vec_id"))
+      .unionByName(pairs.select(col("vec_b").as("vec_id"))).distinct()
+    val vecs = embs.join(candIds, Seq("vec_id"), "left_semi")
+      .select(col("vec_id"), col("embedding"))
+    pairs
+      .join(vecs.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a")), Seq("vec_a"))
+      .join(vecs.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b")), Seq("vec_b"))
+      .withColumn("cos", cosineFUdf(col("emb_a"), col("emb_b")))
       .filter(col("cos") >= threshold)
       .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cos"))
   }
 
-  /** Fixed pseudo-random hyperplane as an array literal column. */
-  def planeCol(p: Int, dim: Int): Column =
-    array((0 until dim).map { j =>
-      val h = graft.kg.CorpusGen.mix(0x51ab5ea1L * (p + 1) + j)
-      lit(((h >>> 11).toDouble / (1L << 53).toDouble) * 2.0 - 1.0)
-    }: _*)
+  /** Exact all-pairs cosine ≥ threshold (ground truth for recall specs) —
+    * broadcast-array flatMap like bruteMatches, no pair-row materialization.
+    */
+  def embeddingBrute(embs: DataFrame, threshold: Double = 0.35): DataFrame = {
+    val spark = embs.sparkSession
+    val gathered = embs.select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), floatArr(r.getSeq[Float](1)))).sortBy(_._1)
+    val bc = spark.sparkContext.broadcast(gathered)
+    val matchUdf = udf((id: Long, v: Seq[Float]) => {
+      val va = floatArr(v)
+      val all = bc.value
+      val out = Seq.newBuilder[(Long, Double)]
+      var i = 0
+      while (i < all.length) {
+        if (all(i)._1 > id) {
+          val c = cosineArr(va, all(i)._2)
+          if (c >= threshold) out += ((all(i)._1, c))
+        }
+        i += 1
+      }
+      out.result()
+    })
+    embs.select(col("vec_id").as("vec_a"),
+        explode(matchUdf(col("vec_id"), col("embedding"))).as("m"))
+      .select(col("vec_a"), col("m._1").as("vec_b"), round(col("m._2"), 4).as("cos"))
+  }
 }

@@ -55,6 +55,97 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("compiled minhash kernel is bit-exact vs the xxhash64 expression form") {
+    // the scalar XXH64 mirror must reproduce the Column formulation exactly,
+    // or the banding (and thus the candidate sets) silently changes
+    val texts = Seq(
+      1L -> "the quick brown fox jumps over the lazy dog",
+      2L -> "short",
+      3L -> "a b c d e f g h i j k l m n o p q r s t u v w x y z",
+      4L -> "Mixed CASE and 123 numbers\t with\nwhitespace   runs")
+    val d = docsDf(texts)
+    val lanes = 16; val bands = 4; val rows = lanes / bands
+    val sh = Dedup.shinglesCol(Dedup.tokensCol(col("text")), 3)
+    val legacy = d.select(col("doc_id"), sh.as("shingles"))
+      .withColumn("sig", array((0 until lanes).map(i =>
+        array_min(transform(col("shingles"), s => xxhash64(lit(i), s)))): _*))
+      .select(col("doc_id"), explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band_id"),
+          xxhash64(slice(col("sig"), b * rows + 1, rows)).as("band_hash"))
+      }: _*)).as("b"))
+      .select(col("doc_id"), col("b.band_id"), col("b.band_hash"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val kernel = Dedup.minhashBands(d, 3, lanes, bands)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(kernel == legacy)
+  }
+
+  test("minhash LSH recall vs brute force on real sf0.01 docs") {
+    val d = graft.Tables.documents(spark, "/root/testdata/sf0.01")
+    val lsh = Dedup.minhashNearDups(d)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = Dedup.minhashBrute(d)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(brute), s"LSH produced non-pairs: ${lsh -- brute}")
+    val recall = lsh.size.toDouble / brute.size
+    // 16 lanes / 4 bands: P(collide | j=0.9) ≈ 0.986 — one planted pair at
+    // j=0.90 exactly is a known banding miss on this corpus (24/25)
+    assert(recall >= 0.95, s"recall $recall (${lsh.size}/${brute.size})")
+  }
+
+  test("ngram LSH equals brute force exactly on real sf0.01 docs") {
+    val d = graft.Tables.documents(spark, "/root/testdata/sf0.01")
+    val lsh = Dedup.ngramJaccard(d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val brute = Dedup.ngramBrute(d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(lsh == brute)
+  }
+
+  test("embedding LSH recall ≥ 0.9 vs brute force at sf0.1") {
+    val e = graft.Tables.embeddings(spark, "/root/testdata/sf0.1")
+    val lsh = Dedup.embeddingNearDups(e)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = Dedup.embeddingBrute(e)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(brute), s"LSH produced non-pairs: ${(lsh -- brute).take(5)}")
+    val recall = lsh.size.toDouble / brute.size
+    assert(recall >= 0.9, s"recall $recall (${lsh.size}/${brute.size})")
+  }
+
+  test("exact pre-pass expands pairs across identical-doc groups") {
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val near = (1 to 40).map(i => if (i == 7) "CHANGED" else s"tok$i").mkString(" ")
+    val d = docsDf(Seq(1L -> base, 2L -> base, 3L -> base, 4L -> near, 5L -> "zz unrelated"))
+    val pairs = Dedup.minhashNearDups(d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // in-group pairs at 1.0 plus every group-member × near-dup pair
+    val expected = Set((1L, 2L, 1.0), (1L, 3L, 1.0), (2L, 3L, 1.0))
+    assert(expected.subsetOf(pairs))
+    val crossNear = pairs.filter(p => p._2 == 4L || p._1 == 4L)
+    assert(crossNear.map(p => (p._1, p._2)) == Set((1L, 4L), (2L, 4L), (3L, 4L)))
+    assert(crossNear.map(_._3).size == 1, "cross pairs must inherit one jaccard value")
+  }
+
+  test("bucket cap drops hot buckets from pair generation") {
+    import spark.implicits._
+    val sigs = Seq(
+      (1L, 0, 100L), (2L, 0, 100L), (3L, 0, 100L), // hot bucket (3 > cap 2)
+      (4L, 1, 200L), (5L, 1, 200L))                 // ok bucket
+      .toDF("doc_id", "band_id", "band_hash")
+    val pairs = Dedup.candidatePairs(sigs, bucketCap = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((4L, 5L)))
+    val dropped = Dedup.droppedBuckets(sigs, 2).collect()
+    assert(dropped.length == 1 && dropped(0).getAs[Long]("bucket_sz") == 3L)
+  }
+
+  test("dedup defaults drop no buckets on the real corpus (cap is headroom)") {
+    val d = graft.Tables.documents(spark, "/root/testdata/sf0.01")
+    assert(Dedup.droppedBuckets(Dedup.minhashBands(d), 256).count() == 0)
+    assert(Dedup.droppedBuckets(Dedup.ngramBands(d), 256).count() == 0)
+  }
+
   test("embedding LSH near-dup finds planted similar vectors") {
     import spark.implicits._
     val v = (0 until 64).map(i => math.sin(i * 0.7).toFloat).toArray
