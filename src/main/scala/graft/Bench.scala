@@ -38,8 +38,18 @@ object Bench {
           -1L
       }
       val sec = (System.nanoTime() - t0) / 1e9
-      if (name == "kg_triples" && n > 0) triplesPerSec = n / sec
       (name, sec, n)
+    }
+    // throughput metric: a DEDICATED full-pipeline run (kg queries memoize
+    // one shared run, so their timings no longer measure the pipeline) —
+    // synthesis included, nothing reused, warm JVM.
+    if (only.isEmpty || only.exists(_.exists(_.startsWith("kg_")))) {
+      // drop every cached frame the query sweep left behind so the
+      // throughput run measures the pipeline, not storage-eviction thrash
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      val n = kg.Pipeline.triplesForScale(spark, KgQueries.scaleFor(sfDir)).count()
+      triplesPerSec = n / ((System.nanoTime() - t0) / 1e9)
     }
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -48,10 +58,10 @@ object Bench {
     val errs = errors.map { case (k, m) => "\"" + k + "\":\"" + m + "\"" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    // triples_per_sec protocol (keep in sync with BENCH/BASELINE.md): the
-    // kg_triples query = full pipeline cold INCLUDING corpus synthesis, at
-    // KgQueries.scaleFor(sf) files, this JVM/master, single run.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rows":$rows,"errors":$errs,"n_errors":${errors.size},"sf":"$sfDir","triples_per_sec":$triplesPerSec,"triples_protocol":"cold full pipeline incl. synthesis at scaleFor(sf), single run, local[$cpus]"}""")
+    // triples_per_sec protocol (keep in sync with BENCH/BASELINE.md):
+    // dedicated full-pipeline run incl. corpus synthesis, nothing reused,
+    // warm JVM, at KgQueries.scaleFor(sf) files, single run.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rows":$rows,"errors":$errs,"n_errors":${errors.size},"sf":"$sfDir","triples_per_sec":$triplesPerSec,"triples_protocol":"dedicated full pipeline incl. synthesis at scaleFor(sf), nothing reused, warm JVM, single run, local[$cpus]"}""")
     spark.stop()
   }
 }

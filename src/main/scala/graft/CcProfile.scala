@@ -15,9 +15,12 @@ object CcProfile {
     val repos = CorpusGen.repos(spark, scale).toDF()
     val entities = CorpusGen.entities(spark, scale).toDF()
     val accounts = CorpusGen.accounts(spark, scale).toDF()
-    val dict = Dictionary.build(spark, Mentions.extract(repos), accounts).persist(MEMORY_AND_DISK)
+    val mentions = Mentions.extract(repos).persist(MEMORY_AND_DISK)
+    val dict = Dictionary.build(spark, mentions, accounts).persist(MEMORY_AND_DISK)
     val cands = CandidateGen.candidates(spark, entities, dict)
-    val aligned = Scorer.score(cands, entities, accounts).persist(MEMORY_AND_DISK)
+    val aligned = Scorer.score(cands, entities, accounts, mentions, repos,
+      CorpusGen.accountEmbeddings(spark, scale).toDF(),
+      CorpusGen.entityEmbeddings(spark, scale).toDF()).persist(MEMORY_AND_DISK)
     println(s"[cc] aligned rows=${aligned.count()}")
     val edges = Canonicalize.strongEdges(aligned).persist(MEMORY_AND_DISK)
     println(s"[cc] strong edges=${edges.count()}")

@@ -11,7 +11,11 @@ import graft.kg._
   * against the scalar oracle (ScalarOracle.scala).
   *
   * The synthesis scale follows the driver's sf dir so bench reflects a
-  * bigger corpus than verify.
+  * bigger corpus than verify. One Pipeline.compute Result is MEMOIZED per
+  * (session, sf dir): kg_triples / kg_evaluation / kg_dictionary /
+  * kg_candidates all reuse the same persisted intermediates instead of
+  * re-running corpus→dictionary→scoring per query (the round-1 bench paid
+  * that full chain twice).
   */
 object KgQueries {
 
@@ -22,36 +26,58 @@ object KgQueries {
     else if (dir.contains("sf0.01")) CorpusGen.Small
     else CorpusGen.Tiny
 
+  private val memo =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), Pipeline.Result]
+
+  /** One pipeline run per (session, scale) — all kg_* queries share it. */
+  def result(s: SparkSession, dir: String): Pipeline.Result =
+    memo.getOrElseUpdate((System.identityHashCode(s), scaleFor(dir).name),
+      Pipeline.computeForScale(s, scaleFor(dir)))
+
   val corpus: Q = (s, dir) =>
     CorpusGen.repos(s, scaleFor(dir)).toDF()
 
   val mentions: Q = (s, dir) =>
     Mentions.extract(CorpusGen.repos(s, scaleFor(dir)).toDF())
 
-  val dictionary: Q = (s, dir) => {
+  val dictionary: Q = (s, dir) => result(s, dir).dictionary
+
+  val candidates: Q = (s, dir) => result(s, dir).candidates
+
+  val triples: Q = (s, dir) => result(s, dir).triples
+
+  val evaluation: Q = (s, dir) =>
+    Scorer.evaluate(result(s, dir).alignments,
+      CorpusGen.gold(s, scaleFor(dir)).toDF())
+
+  /** A4+A5 on the kg corpus itself: normalized co-mention edges. */
+  val socialGraph: Q = (s, dir) => {
     val scale = scaleFor(dir)
-    Dictionary.build(s, Mentions.extract(CorpusGen.repos(s, scale).toDF()),
-      CorpusGen.accounts(s, scale).toDF())
+    Features.socialEdges(result(s, dir).mentions,
+        CorpusGen.accounts(s, scale).toDF())
+      .select(col("src"), col("dst"), col("freq"), round(col("w"), 6).as("w"))
+      .orderBy(col("src"), col("dst"))
   }
 
-  val candidates: Q = (s, dir) => {
-    val scale = scaleFor(dir)
-    val dict = Dictionary.build(s,
-      Mentions.extract(CorpusGen.repos(s, scale).toDF()),
-      CorpusGen.accounts(s, scale).toDF())
-    CandidateGen.candidates(s, CorpusGen.entities(s, scale).toDF(), dict)
-  }
+  /** Decision-grid sweep (PrepareTrainingSet.java:936-1039): P/R/F1 at
+    * every (minScore, margin) point, one DataFrame job.
+    */
+  val gridEval: Q = (s, dir) =>
+    Scorer.gridEvaluation(result(s, dir).alignments,
+        CorpusGen.gold(s, scaleFor(dir)).toDF(), s)
+      .orderBy(col("min_score"), col("margin"))
 
-  val triples: Q = (s, dir) =>
-    Pipeline.triplesForScale(s, scaleFor(dir))
-
-  val evaluation: Q = (s, dir) => {
+  /** A13 candidate-distribution diagnostics (index loss / cutoff loss /
+    * per-rank gold histogram).
+    */
+  val candidateStats: Q = (s, dir) => {
     val scale = scaleFor(dir)
-    val r = Pipeline.compute(s,
-      CorpusGen.repos(s, scale).toDF(),
-      CorpusGen.entities(s, scale).toDF(),
-      CorpusGen.accounts(s, scale).toDF())
-    Scorer.evaluate(r.alignments, CorpusGen.gold(s, scale).toDF())
+    val r = result(s, dir)
+    val rollup = CandidateGen.rollupAll(s,
+      CorpusGen.entities(s, scale).toDF(), r.dictionary)
+    Scorer.candidateStats(rollup, r.candidates,
+        CorpusGen.gold(s, scale).toDF())
+      .orderBy(col("stat"), col("ord"))
   }
 
   def all: Map[String, Q] = Map(
@@ -61,6 +87,9 @@ object KgQueries {
     "kg_candidates" -> candidates,
     "kg_triples" -> triples,
     "kg_evaluation" -> evaluation,
+    "kg_social_graph" -> socialGraph,
+    "kg_grid_eval" -> gridEval,
+    "kg_candidate_stats" -> candidateStats,
   )
 
   def oracles: Map[String, String] = Map.empty

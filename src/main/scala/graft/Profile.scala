@@ -53,19 +53,16 @@ object Profile {
       .persist(MEMORY_AND_DISK)
     time("candidates")(cands.count())
 
-    // scoring sub-steps
-    val ent = entities.select(col("id").as("entity_id"), col("names"), col("abstractText"))
-    val acc = accounts.select(col("accountId").as("account_id"),
-      col("screenName").as("screen_name"), col("name").as("account_name"),
-      col("description"), col("followers"), col("verified"))
-    val joined = cands.join(broadcast(ent), Seq("entity_id")).join(acc, Seq("account_id"))
-    time("score_join")(joined.count())
-    val withF = joined.select(
-      Scorer.nameSimUdf(col("names"), col("account_name")).as("ns"),
-      Scorer.cosUdf(col("abstractText"), col("description")).as("cs"))
-    time("score_udfs")(withF.agg(sum(col("ns") + col("cs"))).collect())
+    // feature-table sub-steps
+    val (accVec, entVec) = Features.textVectors(mentions, repos, accounts, entities)
+    time("text_vectors")(accVec.count() + entVec.count())
+    val sgv = Features.sgVectors(Features.socialEdges(mentions, accounts),
+      CorpusGen.accountEmbeddings(spark, scale).toDF())
+    time("social_graph")(sgv.count())
 
-    val aligned = Scorer.score(cands, entities, accounts).persist(MEMORY_AND_DISK)
+    val aligned = Scorer.score(cands, entities, accounts, mentions, repos,
+      CorpusGen.accountEmbeddings(spark, scale).toDF(),
+      CorpusGen.entityEmbeddings(spark, scale).toDF()).persist(MEMORY_AND_DISK)
     time("scoring")(aligned.count())
 
     val reps = time("components")(

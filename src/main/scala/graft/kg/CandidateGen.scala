@@ -8,18 +8,24 @@ import org.apache.spark.sql.functions._
 final case class KgConf(
     topK: Int = 40,              // CANDIDATES_THRESHOLD, PrepareTrainingSet.java:73
     backoffThreshold: Int = 300, // FillFromIndex.java:104
-    minScore: Double = 0.5,      // decision grid midpoint, PrepareTrainingSet.java:937-943
-    margin: Double = 0.1,
+    // decision point: the grid argmax on the planted corpus (the
+    // reference's own tuning method, PrepareTrainingSet.java:936-1039 —
+    // see KgPipelineSpec "default operating point is grid-optimal")
+    minScore: Double = 0.5,
+    margin: Double = 0.0,
     strongThreshold: Double = 0.9, // ScoreEntities.java:141
     fuzzyEnabled: Boolean = true,  // J10 MinHash-LSH long-tail blocking
     fuzzyThreshold: Double = 0.5,  // exact shingle-Jaccard verification bar
-    // logistic scorer weights (north_star: LR-style scorer replacing the NN)
-    wName: Double = 5.0,
-    wCos: Double = 4.0,
-    wFollowers: Double = 0.3,
-    wFreq: Double = 0.15,
-    wVerified: Double = 0.3,
-    bias: Double = -6.0)
+    // logistic scorer weights (north_star: LR-style scorer replacing the
+    // NN), tuned by random search over the dumped feature table (Tune.scala)
+    wName: Double = 4.0,
+    wText: Double = 3.0,   // TF-IDF corpus-text cosine (DBTextScorerv2 analogue)
+    wDesc: Double = 8.0,   // description token overlap (DescriptionScorer)
+    wSg: Double = 1.0,     // social-graph embedding cosine (SocialGraphEmbeddings)
+    wFollowers: Double = 0.1,
+    wFreq: Double = 0.8,
+    wVerified: Double = 0.4,
+    bias: Double = -8.0)
 
 /** Stage 3: candidate generation — entity query names joined against the
   * dictionary, per-entity frequency rollup, top-K with deterministic
@@ -68,10 +74,13 @@ object CandidateGen {
       .groupBy(col("entity_id"), col("account_id"))
       .agg(sum(col("freq")).as("freq"))
 
-  /** candidates(entity_id, account_id, freq, rank) — rank 1..topK per entity,
-    * tie-break (freq desc, account_id asc) for reproducible P/R (SURVEY §7.3).
+  /** The PRE-cutoff candidate rollup (entity_id, account_id, freq) — every
+    * account the dictionary matched after back-off and fuzzy blocking,
+    * BEFORE the top-K window. Exposed separately so the A13 diagnostics
+    * (index-loss vs cutoff-loss accounting) can tell "gold account was
+    * never matched" apart from "matched but cut at topK".
     */
-  def candidates(spark: SparkSession, entities: DataFrame, dictionary: DataFrame,
+  def rollupAll(spark: SparkSession, entities: DataFrame, dictionary: DataFrame,
       conf: KgConf = KgConf()): DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val qn = queryNames(entities)
@@ -98,7 +107,7 @@ object CandidateGen {
     // J10: MinHash-LSH blocking for the long tail — entities with ZERO
     // exact-name candidates get fuzzy candidates via character-shingle
     // banding against the dictionary's (distinct) names.
-    val unioned = if (!conf.fuzzyEnabled) exact else {
+    if (!conf.fuzzyEnabled) exact else {
       val withCand = exact.select(col("entity_id")).distinct()
       val lonely = qn.join(withCand, Seq("entity_id"), "left_anti")
       val dictNames = dictionary.select(col("name")).distinct()
@@ -108,10 +117,16 @@ object CandidateGen {
         .agg(sum(col("freq")).as("freq"))
       exact.unionByName(fuzzy)
     }
+  }
 
+  /** candidates(entity_id, account_id, freq, rank) — rank 1..topK per entity,
+    * tie-break (freq desc, account_id asc) for reproducible P/R (SURVEY §7.3).
+    */
+  def candidates(spark: SparkSession, entities: DataFrame, dictionary: DataFrame,
+      conf: KgConf = KgConf()): DataFrame = {
     val w = Window.partitionBy(col("entity_id"))
       .orderBy(col("freq").desc, col("account_id").asc)
-    unioned
+    rollupAll(spark, entities, dictionary, conf)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= conf.topK)
   }

@@ -287,6 +287,34 @@ object CorpusGen {
   def goldRow(i: Long): GoldRow =
     GoldRow(entityId(i), if (hasGold(i)) accountIdOf(i) else -1L)
 
+  // ---------------------------------------------------------------- embeddings
+
+  /** Dimensionality of the synthesized "pre-trained" embeddings (analogue
+    * of the reference's kb200/sg300 vectors, scaled down).
+    */
+  val EmbDim = 16
+
+  /** Deterministic pseudo-random basis vector for a topic cluster. */
+  def topicBaseVec(topic: Int): Array[Double] =
+    Array.tabulate(EmbDim) { j =>
+      (h(60L + topic, j.toLong) >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
+    }
+
+  private def noisyTopicVec(topic: Int, stream: Long, id: Long): Seq[Double] = {
+    val base = topicBaseVec(topic)
+    Array.tabulate(EmbDim) { j =>
+      base(j) + 0.25 * ((h(stream + j, id) >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0)
+    }.toSeq
+  }
+
+  /** Entity embedding = its topic basis + per-entity noise (rdf2vec stand-in). */
+  def entityEmbeddingRow(i: Long): EntityEmbedding =
+    EntityEmbedding(entityId(i), noisyTopicVec(topicOf(i), 70L, i))
+
+  /** Account embedding = its topic basis + per-account noise. */
+  def accountEmbeddingRow(idx: Long, scale: Scale): AccountEmbedding =
+    AccountEmbedding(accountIdOf(idx), noisyTopicVec(accountTopic(idx, scale), 90L, idx))
+
   // ---------------------------------------------------------------- corpus
 
   /** Zipf-ish repo assignment: repo 0 is the mega-repo (skew case). */
@@ -309,25 +337,61 @@ object CorpusGen {
     s"src/${lang}/pkg${pick(39L, fileId, 9)}/File$fileId.${exts(lang)}"
   }
 
+  /** Display-name rendering inside an annotation: 70% plain, 20% camelCase,
+    * 10% snake_case — the identifier-style forms a code corpus actually
+    * carries (TextProcessor.java:129-147 hashtag camel-break analogue);
+    * the dictionary build must split them back into words.
+    */
+  def renderDisplay(name: String, stream: Long, fileId: Long): String = {
+    val r = pick(stream, fileId, 10)
+    if (r < 2) name.split(' ').map(w => w.head.toUpper + w.tail).mkString("")
+    else if (r == 2) name.toLowerCase.replace(' ', '_')
+    else name
+  }
+
+  /** Mention account selection with topic affinity: up to 6 deterministic
+    * draws, first one matching the author's topic wins (falls back to the
+    * first draw). Gives the co-mention graph the topic assortativity a real
+    * social graph has — which is what makes the social-graph embedding
+    * feature informative (ExtractSocialGraph.java:75-96 analogue).
+    */
+  def mentionAccount(scale: Scale, k: Int, fileId: Long, authorTopic: Int): Long = {
+    val first = mentionableAccount(scale, 41L + k, fileId)
+    var t = 0
+    var found = first
+    var done = false
+    while (t < 6 && !done) {
+      val cand = if (t == 0) first
+        else mentionableAccount(scale, 41L + k + 100L * t, fileId)
+      if (accountTopic(cand, scale) == authorTopic) { found = cand; done = true }
+      t += 1
+    }
+    found
+  }
+
   /** File content. Grammar (deterministic per fileId):
     *   line 1: author annotation  `// @author <screen> (<Display Name>)`
     *   0..3:   mention annotations `// @mention <screen> (<Display Name>)`
     *   1 decoy plain-text near-miss name (no annotation — must be ignored)
     *   8..24 filler lines mixing the author's topic vocabulary + code tokens
     * The annotation carries BOTH screen name and display name, the way a
-    * tweet's user/mention objects carry uid+name (BuildUserIndex.java:221-269).
+    * tweet's user/mention objects carry uid+name (BuildUserIndex.java:221-269);
+    * display names render in plain/camel/snake form (renderDisplay).
     */
   def contentOf(scale: Scale, fileId: Long): String = {
     val sb = new StringBuilder(1024)
     val author = mentionableAccount(scale, 0L, fileId)
     sb.append("// @author ").append(screenNameOf(author, scale))
-      .append(" (").append(accountDisplayName(author, scale)).append(")\n")
+      .append(" (").append(renderDisplay(accountDisplayName(author, scale), 46L, fileId))
+      .append(")\n")
+    val authorTopic = accountTopic(author, scale)
     val nMentions = pick(40L, fileId, 4)
     var k = 0
     while (k < nMentions) {
-      val m = mentionableAccount(scale, 41L + k, fileId)
+      val m = mentionAccount(scale, k, fileId, authorTopic)
       sb.append("// @mention ").append(screenNameOf(m, scale))
-        .append(" (").append(accountDisplayName(m, scale)).append(")\n")
+        .append(" (").append(renderDisplay(accountDisplayName(m, scale), 47L + k, fileId))
+        .append(")\n")
       k += 1
     }
     if (pick(42L, fileId, 3) == 0) {
@@ -379,5 +443,15 @@ object CorpusGen {
   def gold(spark: SparkSession, scale: Scale): Dataset[GoldRow] = {
     import spark.implicits._
     spark.range(0L, scale.nEntities.toLong).map(i => goldRow(i))
+  }
+
+  def entityEmbeddings(spark: SparkSession, scale: Scale): Dataset[EntityEmbedding] = {
+    import spark.implicits._
+    spark.range(0L, scale.nEntities.toLong).map(i => entityEmbeddingRow(i))
+  }
+
+  def accountEmbeddings(spark: SparkSession, scale: Scale): Dataset[AccountEmbedding] = {
+    import spark.implicits._
+    spark.range(0L, nAccounts(scale)).map(i => accountEmbeddingRow(i, scale))
   }
 }

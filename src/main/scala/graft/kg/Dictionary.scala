@@ -21,13 +21,21 @@ object Dictionary {
   val normalizeNameUdf =
     udf((s: String) => Text.normalizeName(s))
 
+  /** F2 mention-name normalization: identifier splitting (camel/snake →
+    * words) before the usual lowercase/whitespace normalization, so the
+    * code corpus's `AdaLovelace` display forms key the same dictionary
+    * entry as `Ada Lovelace` (Text.splitName; TextProcessor.java:129-147).
+    */
+  val splitNameUdf =
+    udf((s: String) => Text.splitName(s))
+
   /** dictionary(name, account_id, freq) */
   def build(spark: SparkSession, mentions: DataFrame, accounts: DataFrame): DataFrame = {
     val accs = accounts.select(col("screenName").as("screen_name"),
       col("accountId").as("account_id"))
     mentions
       .join(broadcast(accs), Seq("screen_name"), "inner")
-      .select(normalizeNameUdf(col("display_name")).as("name"), col("account_id"))
+      .select(splitNameUdf(col("display_name")).as("name"), col("account_id"))
       .filter(length(col("name")) >= 3) // AllNamesStrategy.java:75 exclusion
       .groupBy(col("name"), col("account_id"))
       .agg(count(lit(1)).as("freq"))

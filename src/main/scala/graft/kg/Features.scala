@@ -1,0 +1,193 @@
+package graft.kg
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Feature-side tables for the scorer: per-account corpus-text TF-IDF
+  * vectors, per-entity abstract vectors (same IDF model), and the social
+  * graph with weighted-average followee embeddings.
+  *
+  * Reference semantics:
+  *   - per-user corpus text as the context source: BuildUserLSA.java:54-58,
+  *     100-106 (concatenated user text → vector) and
+  *     scorer/DBTextScorerv2.java:38-42 (per-pair cosine against it);
+  *   - TF-IDF weighting standing in for the LSA projection
+  *     (LSM.java:36-80; SURVEY F17 allows the cosine substitute);
+  *   - social graph: ExtractSocialGraph.java:75-96 (edge sum + min-freq
+  *     filter), :176-195 (per-src normalized weights);
+  *   - graph feature: SocialGraphEmbeddings.java:38-44 /
+  *     EmbeddingsProvider.java:85-150 (weighted mean of followee vectors).
+  *
+  * Determinism: every floating-point fold is over a sort_array'd list
+  * (token order for text, dst order for the graph), so results are
+  * bitwise identical across partitionings AND reproducible by the
+  * single-threaded ScalarOracle, which shares the fold order.
+  */
+object Features {
+
+  /** Word tokens (shared scalar tokenizer — dims only, never per-pair). */
+  val tokensUdf = udf((s: String) => Text.tokens(s))
+
+  /** token-sorted (token, w) entry array + L2 norm from (key, token, tf,
+    * idf) rows; the sorted array fixes the fold order of every consumer.
+    */
+  private def vectorize(tok: DataFrame, key: String): DataFrame =
+    tok.withColumn("w", (lit(1.0) + log(col("tf").cast("double"))) * col("idf"))
+      .groupBy(col(key))
+      .agg(sort_array(collect_list(struct(col("token"), col("w")))).as("tw"))
+      .select(col(key),
+        col("tw").as("tvec"),
+        sqrt(aggregate(col("tw"), lit(0.0),
+          (acc, s) => acc + s.getField("w") * s.getField("w"))).as("tnorm"))
+
+  /** (accountVectors(account_id, tvec, tnorm),
+    *  entityVectors(entity_id, tvec, tnorm)).
+    *
+    * IDF is fit on the per-account corpus texts (N = accounts with ≥1
+    * authored file); entity abstracts are transformed with the SAME model
+    * (out-of-vocabulary tokens get the df=0 idf), mirroring how the
+    * reference projects both sides with one LSA model
+    * (LSAVectorProvider.java:25-33).
+    *
+    * Scale shape: one corpus-wide (account, token) count [shuffle on
+    * (account, token) with partial agg], one token-level df agg over the
+    * already-aggregated counts, broadcast idf join. Content never shuffles.
+    */
+  /** Per-file (account_id, content) rows for authored files. */
+  def authoredContent(mentions: DataFrame, repos: DataFrame,
+      accounts: DataFrame): DataFrame = {
+    val accs = broadcast(accounts.select(col("screenName").as("screen_name"),
+      col("accountId").as("account_id")))
+    mentions.filter(col("kind") === "author")
+      .select(col("repo"), col("path"), col("commit"), col("screen_name"))
+      .join(accs, Seq("screen_name"))
+      .join(repos.select(col("repo"), col("path"), col("commit"), col("content")),
+        Seq("repo", "path", "commit"))
+      .select(col("account_id"), col("content"))
+  }
+
+  /** (account_id, token, tf) — flat per-account BOW counts (map-side
+    * combinable hash aggregate; the scale path).
+    */
+  def accountTokenCounts(mentions: DataFrame, repos: DataFrame,
+      accounts: DataFrame): DataFrame =
+    authoredContent(mentions, repos, accounts)
+      .select(col("account_id"), explode(tokensUdf(col("content"))).as("token"))
+      .groupBy(col("account_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** Typed alternative: per-account BOW as a term-count map merged with the
+    * BowMerge Aggregator (A15/T3, TextExtractor.java:80-87 semantics) —
+    * order-independent (Long addition), so it equals accountTokenCounts
+    * exactly (FeaturesSpec asserts this).
+    */
+  def accountBow(mentions: DataFrame, repos: DataFrame, accounts: DataFrame)
+      : org.apache.spark.sql.Dataset[(Long, Map[String, Long])] = {
+    val spark = mentions.sparkSession
+    import spark.implicits._
+    authoredContent(mentions, repos, accounts)
+      .select(col("account_id").as("id"), col("content"))
+      .as[(Long, String)]
+      .map { case (id, content) =>
+        val m = scala.collection.mutable.HashMap.empty[String, Long]
+        Text.tokens(content).foreach(t => m(t) = m.getOrElse(t, 0L) + 1L)
+        (id, m.toMap)
+      }
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(new graft.ops.Aggregators.BowMerge().toColumn.name("bow"))
+  }
+
+  def textVectors(mentions: DataFrame, repos: DataFrame, accounts: DataFrame,
+      entities: DataFrame): (DataFrame, DataFrame) = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val accTok = accountTokenCounts(mentions, repos, accounts)
+      .persist(MEMORY_AND_DISK) // feeds N-count, df agg, and vector build
+    val n = accTok.select(col("account_id")).distinct().count()
+    val idf = accTok.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      .withColumn("idf",
+        log(lit((n + 1).toDouble) / (col("df").cast("double") + lit(1.0))) + lit(1.0))
+      .select(col("token"), col("idf"))
+    val oovIdf = math.log((n + 1).toDouble / 1.0) + 1.0
+    val accVec = vectorize(accTok.join(broadcast(idf), Seq("token")), "account_id")
+    val entTok = entities
+      .select(col("id").as("entity_id"), explode(tokensUdf(col("abstractText"))).as("token"))
+      .groupBy(col("entity_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+      .join(broadcast(idf), Seq("token"), "left")
+      .withColumn("idf", coalesce(col("idf"), lit(oovIdf)))
+    (accVec, vectorize(entTok, "entity_id"))
+  }
+
+  /** Compiled per-pair TF-IDF cosine between two token-SORTED (token, w)
+    * entry arrays with precomputed norms: a sorted-merge dot product (one
+    * pass, no per-entry lambda interpretation — this sits on the widest
+    * frame of the pipeline). The merge visits entity tokens in ascending
+    * order, exactly the fold order of the scalar oracle.
+    */
+  private val textCosUdf = udf(
+    (etw: Seq[org.apache.spark.sql.Row], en: Double,
+     atw: Seq[org.apache.spark.sql.Row], an: Double) => {
+      if (etw == null || atw == null || en <= 0 || an <= 0) 0.0
+      else {
+        var i = 0; var j = 0; var dot = 0.0
+        while (i < etw.length && j < atw.length) {
+          val c = etw(i).getString(0).compareTo(atw(j).getString(0))
+          if (c == 0) {
+            dot += etw(i).getDouble(1) * atw(j).getDouble(1); i += 1; j += 1
+          } else if (c < 0) i += 1
+          else j += 1
+        }
+        dot / (en * an)
+      }
+    })
+
+  def textCosCol(eVec: Column, eNorm: Column, aVec: Column, aNorm: Column): Column =
+    coalesce(textCosUdf(eVec, eNorm, aVec, aNorm), lit(0.0))
+
+  // ---------------------------------------------------------------- graph
+
+  /** Social-graph edges from per-file co-occurrence of the author with the
+    * mentioned accounts: edges(src, dst, freq, w) where w is the per-src
+    * normalized weight over edges that survive the min-frequency filter
+    * (ExtractSocialGraph.java:75-96, :176-195).
+    */
+  def socialEdges(mentions: DataFrame, accounts: DataFrame,
+      minFreq: Long = 2): DataFrame = {
+    val accs = broadcast(accounts.select(col("screenName").as("screen_name"),
+      col("accountId").as("account_id")))
+    val authors = mentions.filter(col("kind") === "author")
+      .join(accs, Seq("screen_name"))
+      .select(col("repo"), col("path"), col("commit"), col("account_id").as("src"))
+    val mens = mentions.filter(col("kind") === "mention")
+      .join(accs, Seq("screen_name"))
+      .select(col("repo"), col("path"), col("commit"), col("account_id").as("dst"))
+    authors.join(mens, Seq("repo", "path", "commit"))
+      .groupBy(col("src"), col("dst"))
+      .agg(count(lit(1)).as("freq"))
+      .filter(col("freq") >= minFreq) // GraphFilter, ExtractSocialGraph.java:79
+      .withColumn("w",
+        col("freq").cast("double") / sum(col("freq")).over(Window.partitionBy(col("src"))))
+  }
+
+  /** (account_id, sgvec): weighted mean of neighbour embeddings,
+    * Σ wᵢ·vecᵢ / Σ wᵢ folded in dst order (SocialGraphEmbeddings.java:38-44
+    * semantics — a user's graph embedding is the weighted average of its
+    * followees' vectors).
+    */
+  def sgVectors(edges: DataFrame, accountEmbeddings: DataFrame,
+      dim: Int = CorpusGen.EmbDim): DataFrame = {
+    val emb = accountEmbeddings.select(col("accountId").as("dst"), col("vec"))
+    edges.join(emb, Seq("dst"))
+      .groupBy(col("src"))
+      .agg(sort_array(collect_list(struct(col("dst"), col("w"), col("vec")))).as("nb"))
+      .select(col("src").as("account_id"),
+        transform(
+          aggregate(col("nb"), array_repeat(lit(0.0), dim),
+            (acc, x) => zip_with(acc, x.getField("vec"),
+              (a, v) => a + x.getField("w") * v)),
+          v => v / aggregate(col("nb"), lit(0.0),
+            (acc, x) => acc + x.getField("w"))).as("sgvec"))
+  }
+}

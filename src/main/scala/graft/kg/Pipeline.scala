@@ -24,7 +24,10 @@ object Pipeline {
   final case class Result(
       triples: DataFrame,
       alignments: DataFrame,
-      lineage: DataFrame)
+      lineage: DataFrame,
+      mentions: DataFrame,
+      dictionary: DataFrame,
+      candidates: DataFrame)
 
   def sessionConf(spark: SparkSession): Unit = {
     // AQE handles runtime coalescing + skew-join splitting (SURVEY §2.9 X4)
@@ -33,13 +36,14 @@ object Pipeline {
   }
 
   def compute(spark: SparkSession, repos: DataFrame, entities: DataFrame,
-      accounts: DataFrame, conf: KgConf = KgConf()): Result = {
+      accounts: DataFrame, accountEmbeddings: DataFrame,
+      entityEmbeddings: DataFrame, conf: KgConf = KgConf()): Result = {
     sessionConf(spark)
+    // mentions feed three consumers (dictionary, text vectors, social
+    // graph) — persist so the annotation regex runs over the corpus once;
+    // the frame is annotation rows only, a tiny fraction of content size
     val mentions = Mentions.extract(repos)
-    // the dictionary is the ONLY consumer of the corpus scan; persisting it
-    // means the (huge) corpus is read exactly once per run — candidate
-    // generation's rollup + back-off passes then reuse the (small)
-    // aggregated dictionary instead of re-scanning the corpus
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dict = Dictionary.build(spark, mentions, accounts)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cands = CandidateGen.candidates(spark, entities, dict, conf)
@@ -48,23 +52,30 @@ object Pipeline {
     // whole corpus-scan → dictionary → scoring chain recomputes per
     // consumer (~3× wall). Persisted size is O(|entities| × topK), tiny
     // next to the corpus.
-    val aligned = Scorer.score(cands, entities, accounts, conf)
+    val aligned = Scorer.score(cands, entities, accounts, mentions, repos,
+        accountEmbeddings, entityEmbeddings, conf)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val reps = Canonicalize.representatives(spark, aligned, conf)
     val triples = Triples.materialize(aligned, reps)
     val lineage = mentions
       .select(col("repo"), col("path"), col("commit"), col("content_sha"))
       .distinct()
-    Result(triples, aligned, lineage)
+    Result(triples, aligned, lineage, mentions, dict, cands)
   }
 
+  /** Convenience: compute() over a fully synthesized world at `scale`. */
+  def computeForScale(spark: SparkSession, scale: CorpusGen.Scale,
+      conf: KgConf = KgConf()): Result =
+    compute(spark,
+      CorpusGen.repos(spark, scale).toDF(),
+      CorpusGen.entities(spark, scale).toDF(),
+      CorpusGen.accounts(spark, scale).toDF(),
+      CorpusGen.accountEmbeddings(spark, scale).toDF(),
+      CorpusGen.entityEmbeddings(spark, scale).toDF(), conf)
+
   def triplesForScale(spark: SparkSession, scale: CorpusGen.Scale,
-      conf: KgConf = KgConf()): DataFrame = {
-    val repos = CorpusGen.repos(spark, scale).toDF()
-    val entities = CorpusGen.entities(spark, scale).toDF()
-    val accounts = CorpusGen.accounts(spark, scale).toDF()
-    compute(spark, repos, entities, accounts, conf).triples
-  }
+      conf: KgConf = KgConf()): DataFrame =
+    computeForScale(spark, scale, conf).triples
 
   /** Materialized, checkpointed, resumable run. Every stage is skipped when
     * its `_SUCCESS` marker exists, so a killed run resumes where it stopped
@@ -92,11 +103,17 @@ object Pipeline {
     val dict = Checkpoint.stage(spark, root, "dictionary", params = params) {
       Dictionary.build(spark, mentions, accounts)
     }
+    val accEmb = Checkpoint.stage(spark, root, "account_embeddings", params = params) {
+      CorpusGen.accountEmbeddings(spark, scale).toDF()
+    }
+    val entEmb = Checkpoint.stage(spark, root, "entity_embeddings", params = params) {
+      CorpusGen.entityEmbeddings(spark, scale).toDF()
+    }
     val cands = Checkpoint.stage(spark, root, "candidates", params = params) {
       CandidateGen.candidates(spark, entities, dict, conf)
     }
     val aligned = Checkpoint.stage(spark, root, "alignments", params = params) {
-      Scorer.score(cands, entities, accounts, conf)
+      Scorer.score(cands, entities, accounts, mentions, repos, accEmb, entEmb, conf)
     }
     val reps = Checkpoint.stage(spark, root, "representatives", params = params) {
       Canonicalize.representatives(spark, aligned, conf)
@@ -108,6 +125,6 @@ object Pipeline {
       mentions.select(col("repo"), col("path"), col("commit"), col("content_sha"))
         .distinct()
     }
-    Result(triples, aligned, lineage)
+    Result(triples, aligned, lineage, mentions, dict, cands)
   }
 }

@@ -7,9 +7,11 @@ import scala.collection.mutable
   * reference pipeline's emitted alignments" that the BASELINE.json P/R≥0.95
   * target is measured against. It shares every scalar function with the
   * Spark pipeline (Text.scala) and mirrors the Column arithmetic of
-  * Scorer.score EXACTLY (including Catalyst's log(base,x) =
-  * ln(x)/ln(base) form), so at small scale the triple sets must match
-  * bit-for-bit, not just at P/R≥0.95.
+  * Scorer.score EXACTLY — including Catalyst's log(base,x) =
+  * ln(x)/ln(base) form and the fold ORDER of every floating-point
+  * aggregation (token-sorted for text vectors, dst-sorted for the social
+  * graph, names-order for the Jaro-Winkler mean) — so at small scale the
+  * triple sets must match bit-for-bit, not just at P/R≥0.95.
   *
   * No Spark imports here — pure loops + mutable maps, the way the reference
   * itself computes (parallelStream driver loops, PrepareTrainingSet.java).
@@ -36,22 +38,115 @@ object ScalarOracle {
       ai += 1
     }
 
-    // ---------------- dictionary (Mentions.extract + Dictionary.build)
+    // ---------------- corpus pass: dictionary + account text + social edges
+    // (Mentions.extract + Dictionary.build + Features.textVectors/socialEdges)
     val dict = mutable.HashMap.empty[(String, Long), Long] // (name, accId) -> freq
+    val accTf = mutable.HashMap.empty[Long, mutable.HashMap[String, Long]]
+    val edgeFreq = mutable.HashMap.empty[(Long, Long), Long]
     var fi = 0L
     while (fi < scale.nFiles) {
       val content = CorpusGen.contentOf(scale, fi)
+      val authors = mutable.ArrayBuffer.empty[Long]
+      val mentionsInFile = mutable.ArrayBuffer.empty[Long]
       AnnotationRe.findAllMatchIn(content).foreach { m =>
+        val kind = m.group(1)
         val screen = m.group(2)
         val display = m.group(3)
         screenToId.get(screen).foreach { accId =>
-          val name = Text.normalizeName(display)
+          val name = Text.splitName(display) // F2 identifier splitting
           if (name.length >= 3)
             dict((name, accId)) = dict.getOrElse((name, accId), 0L) + 1L
+          if (kind == "author") authors += accId else mentionsInFile += accId
         }
+      }
+      authors.foreach { a =>
+        val tf = accTf.getOrElseUpdate(a, mutable.HashMap.empty)
+        Text.tokens(content).foreach(t => tf(t) = tf.getOrElse(t, 0L) + 1L)
+        mentionsInFile.foreach(m =>
+          edgeFreq((a, m)) = edgeFreq.getOrElse((a, m), 0L) + 1L)
       }
       fi += 1
     }
+
+    // ---------------- text model (Features.textVectors mirror)
+    val nTexts = accTf.size
+    val dfMap = mutable.HashMap.empty[String, Long]
+    accTf.valuesIterator.foreach(_.keysIterator.foreach(t =>
+      dfMap(t) = dfMap.getOrElse(t, 0L) + 1L))
+    def idfOf(t: String): Double = dfMap.get(t) match {
+      case Some(df) => math.log((nTexts + 1).toDouble / (df.toDouble + 1.0)) + 1.0
+      case None => math.log((nTexts + 1).toDouble / 1.0) + 1.0
+    }
+    // account vectors: token→weight map + norm (token-sorted fold)
+    val accVec = mutable.HashMap.empty[Long, (Map[String, Double], Double)]
+    accTf.foreach { case (acc, tf) =>
+      val entries = tf.toSeq.sortBy(_._1).map { case (t, n) =>
+        (t, (1.0 + math.log(n.toDouble)) * idfOf(t))
+      }
+      var norm = 0.0
+      entries.foreach { case (_, w) => norm += w * w }
+      accVec(acc) = (entries.toMap, math.sqrt(norm))
+    }
+    // entity vectors: SORTED entry array (fold order of the Spark dot) + norm
+    def entityVector(abstractText: String): (Seq[(String, Double)], Double) = {
+      val tf = mutable.HashMap.empty[String, Long]
+      Text.tokens(abstractText).foreach(t => tf(t) = tf.getOrElse(t, 0L) + 1L)
+      val entries = tf.toSeq.sortBy(_._1).map { case (t, n) =>
+        (t, (1.0 + math.log(n.toDouble)) * idfOf(t))
+      }
+      var norm = 0.0
+      entries.foreach { case (_, w) => norm += w * w }
+      (entries, math.sqrt(norm))
+    }
+    def textCos(eEntries: Seq[(String, Double)], eNorm: Double, acc: Long): Double =
+      accVec.get(acc) match {
+        case Some((aMap, aNorm)) if eNorm > 0 && aNorm > 0 =>
+          var dot = 0.0
+          eEntries.foreach { case (t, we) =>
+            aMap.get(t).foreach(wa => dot += we * wa)
+          }
+          dot / (eNorm * aNorm)
+        case _ => 0.0
+      }
+
+    // ---------------- social graph (Features.socialEdges/sgVectors mirror)
+    val kept = edgeFreq.filter(_._2 >= 2)
+    val srcSum = mutable.HashMap.empty[Long, Long]
+    kept.foreach { case ((s, _), f) => srcSum(s) = srcSum.getOrElse(s, 0L) + f }
+    val sgVec = mutable.HashMap.empty[Long, Array[Double]]
+    kept.groupBy(_._1._1).foreach { case (src, edges) =>
+      val nb = edges.toSeq.map { case ((_, dst), f) =>
+        (dst, f.toDouble / srcSum(src).toDouble)
+      }.sortBy(_._1) // dst-sorted, matching sort_array(collect_list(...))
+      val acc = new Array[Double](CorpusGen.EmbDim)
+      var wsum = 0.0
+      nb.foreach { case (dst, w) =>
+        val v = CorpusGen.accountEmbeddingRow(dst - 100000L, scale).vec
+        var j = 0
+        while (j < CorpusGen.EmbDim) { acc(j) = acc(j) + w * v(j); j += 1 }
+      }
+      nb.foreach { case (_, w) => wsum += w }
+      var j = 0
+      while (j < CorpusGen.EmbDim) { acc(j) = acc(j) / wsum; j += 1 }
+      sgVec(src) = acc
+    }
+    // Similarity.cosineCol mirror (index-order folds, 0-guard)
+    def cosineMirror(a: Seq[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb2 = 0.0
+      var i = 0
+      while (i < a.length && i < b.length) { dot += a(i) * b(i); i += 1 }
+      i = 0
+      while (i < a.length) { na += a(i) * a(i); i += 1 }
+      i = 0
+      while (i < b.length) { nb2 += b(i) * b(i); i += 1 }
+      if (na == 0.0 || nb2 == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb2))
+    }
+    def sgCos(entityIdx: Long, acc: Long): Double = sgVec.get(acc) match {
+      case Some(v) => cosineMirror(CorpusGen.entityEmbeddingRow(entityIdx).vec, v)
+      case None => 0.0
+    }
+
+    // ---------------- dictionary indexes (CandidateGen mirror)
     // name -> list of (accId, freq)
     val dictByName = mutable.HashMap.empty[String, mutable.ArrayBuffer[(Long, Long)]]
     dict.foreach { case ((name, acc), f) =>
@@ -66,7 +161,7 @@ object ScalarOracle {
     }
 
     // ---------------- candidates (CandidateGen.candidates)
-    def rollup(entityId: String, qnames: Seq[String]): Map[Long, Long] = {
+    def rollup(qnames: Seq[String]): Map[Long, Long] = {
       val m = mutable.HashMap.empty[Long, Long]
       qnames.foreach { qn =>
         dictByName.get(qn).foreach(_.foreach { case (acc, f) =>
@@ -86,10 +181,10 @@ object ScalarOracle {
           .flatMap(n => Iterator(n, Text.swapLastFirst(n)))
           .filter(_.length >= 3)
           .toVector.distinct.sorted
-        var cands = rollup(ent.id, qnames)
+        var cands = rollup(qnames)
         if (cands.size > conf.backoffThreshold) {
           val primary = Text.swapLastFirst(Text.normalizeName(ent.names.head))
-          cands = if (primary.length >= 3) rollup(ent.id, Seq(primary)) else Map.empty
+          cands = if (primary.length >= 3) rollup(Seq(primary)) else Map.empty
         }
         // J10 fuzzy long-tail (mirrors CandidateGen: band-key blocking +
         // exact shingle-Jaccard over DISTINCT matched dictionary names)
@@ -116,12 +211,21 @@ object ScalarOracle {
           .take(conf.topK)
 
         // ---------------- scoring (mirrors Scorer.score Column arithmetic)
+        val (eEntries, eNorm) = entityVector(ent.abstractText)
+        val absTokSet = Text.tokens(ent.abstractText).distinct.toSet
         val scored = topK.map { case (acc, freq) =>
           val a = accById(acc)
           val nameSim = Text.nameSimilarity(ent.names, a.name)
-          val cos = Text.cosineTokens(Text.tokens(ent.abstractText), Text.tokens(a.description))
+          val tCos = textCos(eEntries, eNorm, acc)
+          val dTok = Text.tokens(a.description).distinct
+          val dOverlap =
+            if (dTok.isEmpty) 0.0
+            else dTok.count(absTokSet.contains).toDouble / dTok.length.toDouble
+          val sCos = sgCos(ei, acc)
           val z = conf.wName * nameSim +
-            conf.wCos * cos +
+            conf.wText * tCos +
+            conf.wDesc * dOverlap +
+            conf.wSg * sCos +
             conf.wFollowers * (math.log(a.followers.toDouble + 1.0) / math.log(10.0)) +
             conf.wFreq * (math.log(freq.toDouble + 1.0) / math.log(10.0)) +
             conf.wVerified * (if (a.verified) 1.0 else 0.0) +

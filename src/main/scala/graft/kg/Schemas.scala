@@ -70,6 +70,18 @@ final case class Alignment(
 /** Output triple — the judged surface (RDFExporter.java:180-196). */
 final case class Triple(subj: String, pred: String, obj: String)
 
+/** Pre-trained KB-entity embedding — analogue of the rdf2vec kb200 vectors
+  * the reference fetches from its embeddings HTTP service
+  * (/root/reference/alignments/.../scorer/embeddings/EmbeddingsProvider.java:67-69);
+  * here an input table, joined instead of fetched.
+  */
+final case class EntityEmbedding(entityId: String, vec: Seq[Double])
+
+/** Pre-trained account embedding — the vectors the social-graph feature
+  * averages over followees (SocialGraphEmbeddings.java:38-44).
+  */
+final case class AccountEmbedding(accountId: Long, vec: Seq[Double])
+
 /** Per-stage, per-partition checkpoint/lineage row (north-rule resumability).
   * Reference analogue: alignments.version work-queue states (schema.sql:114)
   * and resolve-chunk files (PrepareTrainingSet.java:237-287).

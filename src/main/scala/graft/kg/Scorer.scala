@@ -1,6 +1,6 @@
 package graft.kg
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -9,15 +9,25 @@ import org.apache.spark.sql.functions._
   *
   * Features (north_star: "name similarity, context cosine, popularity
   * prior" replacing the reference's NN):
-  *   - name_sim     mean Jaro-Winkler over entity names (NameScorer.java:42-53)
-  *   - context_cos  TF-cosine(entity abstract, account description)
-  *                  (CosineScorer.java:20-38)
+  *   - name_sim      mean Jaro-Winkler over entity names (NameScorer.java:42-53)
+  *                   — the codegen JaroWinklerExpr inside transform/aggregate,
+  *                   no row UDF in the per-pair path
+  *   - text_cos      TF-IDF cosine of the entity abstract vs the account's
+  *                   aggregated corpus text (DBTextScorerv2.java:38-42,
+  *                   BuildUserLSA.java:54-58 — Features.textVectors)
+  *   - desc_overlap  |tokens(desc) ∩ tokens(abstract)| / |tokens(desc)|
+  *                   (DescriptionScorer.java:30-51)
+  *   - sg_cos        cosine of the entity embedding vs the account's
+  *                   social-graph embedding (weighted followee average,
+  *                   SocialGraphEmbeddings.java:38-44)
   *   - log_followers / log_freq (FollowersScorer.java:11-18 log scaling)
-  *   - verified     (VerifiedScorer.java:11-14)
+  *   - verified      (VerifiedScorer.java:11-14)
   *
-  * score = sigmoid(w·x + b) as Column arithmetic (codegen'd); only the two
-  * string-similarity features are Scala UDFs (shared bit-for-bit with the
-  * scalar oracle in ScalarOracle.scala).
+  * score = sigmoid(w·x + b) as Column arithmetic. The per-pair stage is
+  * UDF-free: string/name normalization runs once on the (small) dimension
+  * tables; every per-pair expression is built-ins + the codegen
+  * JaroWinklerExpr, and all fp folds follow a sorted order shared with the
+  * scalar oracle (ScalarOracle.scala) for bitwise equality.
   *
   * Selection (W3, PrepareTrainingSet.java:904-926): per entity the argmax
   * wins only if (best − second) > margin AND best > minScore.
@@ -26,6 +36,8 @@ import org.apache.spark.sql.functions._
   * candidates ⋈ accounts joins on account_id — at 10^12-file scale the
   * accounts dim may exceed broadcast size, so that join stays a shuffle
   * hash join on a key whose cardinality is bounded by topK × |entities|.
+  * The feature tables (accVec, sgVec) join the accounts dim on account_id
+  * BEFORE the pair join, so per-pair rows never recompute them.
   */
 object Scorer {
 
@@ -37,35 +49,95 @@ object Scorer {
       d.withColumn(s"${a}_x_$b", col(a) * col(b))
     }
 
-  val nameSimUdf = udf((names: Seq[String], cand: String) =>
-    Text.nameSimilarity(names, cand))
+  /** Dim-side normalizations (run once per entity/account row, not per pair). */
+  val namesNormUdf = udf((names: Seq[String]) =>
+    if (names == null) Seq.empty[String]
+    else names.map(n => Text.swapLastFirst(Text.normalizeName(n))))
 
-  val cosUdf = udf((a: String, b: String) =>
-    Text.cosineTokens(Text.tokens(a), Text.tokens(b)))
+  val normNameUdf = udf((s: String) => Text.normalizeName(s))
 
-  /** alignments(entity_id, account_id, freq, rank, score, is_alignment) —
-    * rank recomputed by (score desc, account_id asc).
+  val distinctTokensUdf = udf((s: String) => Text.tokens(s).distinct.toSeq)
+
+  /** Mean Jaro-Winkler of the candidate name vs all (pre-normalized) entity
+    * names — F5 as a fold over the names array with the codegen expression.
     */
-  def score(candidates: DataFrame, entities: DataFrame, accounts: DataFrame,
-      conf: KgConf = KgConf()): DataFrame = {
-    val ent = entities.select(col("id").as("entity_id"), col("names"),
-      col("abstractText"))
+  def nameSimCol(namesNorm: Column, candNorm: Column): Column =
+    coalesce(
+      when(size(namesNorm) > 0,
+        aggregate(namesNorm, lit(0.0),
+          (acc, n) => acc + graft.functions.JaroWinkler.jaroWinkler(n, candNorm)) /
+          size(namesNorm).cast("double")),
+      lit(0.0))
+
+  /** Per-pair feature table (entity_id, account_id, screen_name, freq,
+    * name_sim, text_cos, desc_overlap, sg_cos, log_followers, log_freq,
+    * verified_f) — the UDF-free feature stage, exposed separately from the
+    * weighting so weights can be swept without recomputing features.
+    */
+  def featurize(candidates: DataFrame, entities: DataFrame, accounts: DataFrame,
+      mentions: DataFrame, repos: DataFrame, accountEmbeddings: DataFrame,
+      entityEmbeddings: DataFrame): DataFrame = {
+    val (accVec, entVec) = Features.textVectors(mentions, repos, accounts, entities)
+    val sgVec = Features.sgVectors(
+      Features.socialEdges(mentions, accounts), accountEmbeddings)
+
+    val ent = entities.select(col("id").as("entity_id"),
+        namesNormUdf(col("names")).as("names_norm"),
+        distinctTokensUdf(col("abstractText")).as("abs_tok"))
+      .join(entVec.withColumnRenamed("tvec", "e_tvec")
+        .withColumnRenamed("tnorm", "e_tnorm"), Seq("entity_id"), "left")
+      .join(entityEmbeddings.select(col("entityId").as("entity_id"),
+        col("vec").as("evec")), Seq("entity_id"), "left")
     val acc = accounts.select(col("accountId").as("account_id"),
-      col("screenName").as("screen_name"), col("name").as("account_name"),
-      col("description"), col("followers"), col("verified"))
+        col("screenName").as("screen_name"),
+        normNameUdf(col("name")).as("account_name_norm"),
+        distinctTokensUdf(col("description")).as("desc_tok"),
+        col("followers"), col("verified"))
+      .join(accVec.withColumnRenamed("tvec", "a_tvec")
+        .withColumnRenamed("tnorm", "a_tnorm"), Seq("account_id"), "left")
+      .join(sgVec, Seq("account_id"), "left")
 
     val joined = candidates
       .join(broadcast(ent), Seq("entity_id"))
       .join(acc, Seq("account_id"))
 
+    val descOverlap = coalesce(
+      when(size(col("desc_tok")) > 0,
+        size(array_intersect(col("desc_tok"), col("abs_tok"))).cast("double") /
+          size(col("desc_tok")).cast("double")),
+      lit(0.0))
+
+    joined.select(col("entity_id"), col("account_id"), col("screen_name"),
+      col("freq"),
+      nameSimCol(col("names_norm"), col("account_name_norm")).as("name_sim"),
+      Features.textCosCol(col("e_tvec"), col("e_tnorm"),
+        col("a_tvec"), col("a_tnorm")).as("text_cos"),
+      descOverlap.as("desc_overlap"),
+      coalesce(graft.ops.Similarity.cosineCol(col("evec"), col("sgvec")),
+        lit(0.0)).as("sg_cos"),
+      log(10.0, col("followers").cast("double") + lit(1.0)).as("log_followers"),
+      log(10.0, col("freq").cast("double") + lit(1.0)).as("log_freq"),
+      col("verified").cast("double").as("verified_f"))
+  }
+
+  /** alignments(entity_id, account_id, screen_name, freq, score, rank,
+    * is_alignment) — rank recomputed by (score desc, account_id asc).
+    */
+  def score(candidates: DataFrame, entities: DataFrame, accounts: DataFrame,
+      mentions: DataFrame, repos: DataFrame, accountEmbeddings: DataFrame,
+      entityEmbeddings: DataFrame, conf: KgConf = KgConf()): DataFrame = {
+    val feats = featurize(candidates, entities, accounts, mentions, repos,
+      accountEmbeddings, entityEmbeddings)
     val z =
-      lit(conf.wName) * nameSimUdf(col("names"), col("account_name")) +
-      lit(conf.wCos) * cosUdf(col("abstractText"), col("description")) +
-      lit(conf.wFollowers) * log(10.0, col("followers").cast("double") + lit(1.0)) +
-      lit(conf.wFreq) * log(10.0, col("freq").cast("double") + lit(1.0)) +
-      lit(conf.wVerified) * col("verified").cast("double") +
+      lit(conf.wName) * col("name_sim") +
+      lit(conf.wText) * col("text_cos") +
+      lit(conf.wDesc) * col("desc_overlap") +
+      lit(conf.wSg) * col("sg_cos") +
+      lit(conf.wFollowers) * col("log_followers") +
+      lit(conf.wFreq) * col("log_freq") +
+      lit(conf.wVerified) * col("verified_f") +
       lit(conf.bias)
-    val scored = joined.withColumn("score", lit(1.0) / (lit(1.0) + exp(-z)))
+    val scored = feats.withColumn("score", lit(1.0) / (lit(1.0) + exp(-z)))
 
     val w = Window.partitionBy(col("entity_id"))
       .orderBy(col("score").desc, col("account_id").asc)
@@ -104,5 +176,84 @@ object Scorer {
       .withColumn("recall", col("tp") / greatest(col("tp") + col("fn"), lit(1)))
       .withColumn("f1", lit(2.0) * col("precision") * col("recall") /
         greatest(col("precision") + col("recall"), lit(1e-9)))
+  }
+
+  /** A12 grid sweep (PrepareTrainingSet.java:936-1039): ONE DataFrame job
+    * evaluating every (minScore, margin) decision point of the reference's
+    * 20×5 grid. Scores are fixed per pair — only the selection rule varies
+    * — so the per-entity (best, second, picked) triple is computed once and
+    * cross-joined with the 100-point grid.
+    */
+  def gridEvaluation(alignments: DataFrame, gold: DataFrame,
+      spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val best = alignments.filter(col("rank") === 1)
+      .select(col("entity_id"), col("account_id").as("picked"),
+        col("score").as("best"))
+    val second = alignments.filter(col("rank") === 2)
+      .select(col("entity_id"), col("score").as("second"))
+    val per = best.join(second, Seq("entity_id"), "left")
+      .withColumn("second", coalesce(col("second"), lit(0.0)))
+    val grid = (for {
+      ms <- 0 until 20
+      mg <- 0 until 5
+    } yield (ms * 0.05, mg * 0.1)).toDF("min_score", "margin")
+    val g = gold.select(col("entity").as("entity_id"),
+      col("accountId").as("gold_account"))
+    val decided = g.join(per, Seq("entity_id"), "left")
+      .crossJoin(broadcast(grid))
+      .withColumn("picked_ok",
+        col("picked").isNotNull &&
+          col("best") - col("second") > col("margin") &&
+          col("best") > col("min_score"))
+    decided.groupBy(col("min_score"), col("margin"))
+      .agg(
+        sum(when(col("picked_ok") && col("picked") === col("gold_account"), 1)
+          .otherwise(0)).as("tp"),
+        sum(when(col("picked_ok") &&
+          (col("gold_account") < 0 || col("picked") =!= col("gold_account")), 1)
+          .otherwise(0)).as("fp"),
+        sum(when(col("gold_account") >= 0 &&
+          (!col("picked_ok") || col("picked") =!= col("gold_account")), 1)
+          .otherwise(0)).as("fn"))
+      .withColumn("precision", col("tp") / greatest(col("tp") + col("fp"), lit(1)))
+      .withColumn("recall", col("tp") / greatest(col("tp") + col("fn"), lit(1)))
+      .withColumn("f1", round(lit(2.0) * col("precision") * col("recall") /
+        greatest(col("precision") + col("recall"), lit(1e-9)), 6))
+      .select(col("min_score"), col("margin"), col("tp"), col("fp"), col("fn"),
+        round(col("precision"), 6).as("precision"),
+        round(col("recall"), 6).as("recall"), col("f1"))
+  }
+
+  /** A13 candidate-distribution diagnostics (PrepareTrainingSet.java:332-415):
+    * per-rank gold-candidate histogram, index loss (gold account absent
+    * from the pre-cutoff rollup), cutoff loss (present but beyond topK),
+    * and the max candidate fan-in. Output rows (stat, ord, n); ord = -1
+    * for scalar stats.
+    */
+  def candidateStats(rollupAll: DataFrame, candidates: DataFrame,
+      gold: DataFrame): DataFrame = {
+    val g = gold.filter(col("accountId") >= 0)
+      .select(col("entity").as("entity_id"), col("accountId").as("account_id"))
+    val inDict = g.join(rollupAll.select(col("entity_id"), col("account_id")),
+      Seq("entity_id", "account_id"), "left_semi")
+    val ranked = g.join(candidates.select(col("entity_id"), col("account_id"),
+      col("rank")), Seq("entity_id", "account_id"))
+    val hist = ranked.groupBy(col("rank"))
+      .agg(count(lit(1)).as("n"))
+      .select(lit("order_hist").as("stat"), col("rank").cast("long").as("ord"),
+        col("n"))
+    val nGold = g.count()
+    val nInDict = inDict.count()
+    val nRanked = ranked.count()
+    val maxCand = candidates.groupBy(col("entity_id")).agg(count(lit(1)).as("c"))
+      .agg(max(col("c"))).collect()(0).getLong(0)
+    import candidates.sparkSession.implicits._
+    val scalars = Seq(
+      ("n_gold", -1L, nGold),
+      ("index_loss", -1L, nGold - nInDict),
+      ("cutoff_loss", -1L, nInDict - nRanked),
+      ("max_candidates", -1L, maxCand)).toDF("stat", "ord", "n")
+    scalars.unionByName(hist)
   }
 }

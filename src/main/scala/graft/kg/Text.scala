@@ -34,6 +34,15 @@ object Text {
   /** Dictionary-key normalization: whitespace-normalized lowercase. */
   def normalizeName(s: String): String = normalizeWs(s).toLowerCase
 
+  /** Mention display-name normalization (F2, TextProcessor.java:129-147):
+    * camelCase/snake_case identifier forms are split back into words BEFORE
+    * the usual normalization, so `AdaLovelace`, `ada_lovelace` and
+    * `Ada Lovelace` all key the same dictionary entry. Plain spaced names
+    * pass through unchanged (split on whitespace, rejoined).
+    */
+  def splitName(s: String): String =
+    normalizeName(splitIdentifier(s).mkString(" "))
+
   /** F14: "Last, First" → "first last" (applied after normalization). */
   def swapLastFirst(name: String): String = {
     val idx = name.indexOf(", ")

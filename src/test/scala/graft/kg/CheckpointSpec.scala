@@ -50,6 +50,7 @@ class CheckpointSpec extends AnyFunSuite with SparkTestBase {
     val cp = Checkpoint.readCheckpoints(spark, root)
     val stages = cp.select(col("stage")).distinct().collect().map(_.getString(0)).toSet
     assert(stages == Set("corpus", "entities", "accounts", "mentions", "dictionary",
+      "account_embeddings", "entity_embeddings",
       "candidates", "alignments", "representatives", "triples", "lineage"))
     // every row: n_rows > 0 somewhere, status done, wall_ms recorded
     assert(cp.filter(col("status") =!= "done").count() == 0)

@@ -1,0 +1,87 @@
+package graft.kg
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Feature-table specs: TF-IDF text vectors, social graph, identifier
+  * splitting — hand-computed expectations plus cross-implementation
+  * equalities.
+  */
+class FeaturesSpec extends AnyFunSuite with SparkTestBase {
+
+  import spark.implicits._
+
+  test("splitName unifies camel, snake, and spaced display forms") {
+    assert(Text.splitName("AdaLovelace") == "ada lovelace")
+    assert(Text.splitName("ada_lovelace") == "ada lovelace")
+    assert(Text.splitName("Ada Lovelace") == "ada lovelace")
+    assert(Text.splitName("QuantumVectorSystems") == "quantum vector systems")
+    assert(Text.splitName("Barbara2Evelyn") == "barbara2 evelyn")
+    assert(Text.splitName("ADA LOVELACE") == "ada lovelace")
+  }
+
+  test("textCosCol equals a hand-computed TF-IDF cosine") {
+    val e = Seq((1L, Seq(("a", 2.0), ("b", 1.0)), math.sqrt(5.0)))
+      .toDF("entity_id", "e_tvec", "e_tnorm")
+    val a = Seq((1L, Seq(("b", 3.0), ("c", 4.0)), 5.0))
+      .toDF("entity_id", "a_tvec", "a_tnorm")
+    val got = e.join(a, Seq("entity_id"))
+      .select(Features.textCosCol(col("e_tvec"), col("e_tnorm"),
+        col("a_tvec"), col("a_tnorm")).as("cos"))
+      .collect()(0).getDouble(0)
+    val want = (1.0 * 3.0) / (math.sqrt(5.0) * 5.0)
+    assert(math.abs(got - want) < 1e-12)
+  }
+
+  test("social edges: min-freq filter and per-src normalized weights sum to 1") {
+    val scale = CorpusGen.Tiny
+    val mentions = Mentions.extract(CorpusGen.repos(spark, scale).toDF())
+    val edges = Features.socialEdges(mentions, CorpusGen.accounts(spark, scale).toDF())
+    assert(edges.filter(col("freq") < 2).count() == 0)
+    val sums = edges.groupBy(col("src")).agg(sum(col("w")).as("s"))
+      .filter(abs(col("s") - 1.0) > 1e-9)
+    assert(sums.count() == 0)
+    assert(edges.count() > 0)
+  }
+
+  test("sgVectors: weighted followee average matches a hand computation") {
+    val edges = Seq((1L, 10L, 3L, 0.75), (1L, 20L, 1L, 0.25))
+      .toDF("src", "dst", "freq", "w")
+    val emb = Seq((10L, Seq(1.0, 0.0)), (20L, Seq(0.0, 1.0)))
+      .toDF("accountId", "vec")
+    val got = Features.sgVectors(edges, emb, dim = 2)
+      .collect()(0).getSeq[Double](1)
+    assert(got == Seq(0.75, 0.25))
+  }
+
+  test("typed BowMerge account BOW equals the flat hash-aggregate counts") {
+    val scale = CorpusGen.Tiny
+    val repos = CorpusGen.repos(spark, scale).toDF()
+    val accounts = CorpusGen.accounts(spark, scale).toDF()
+    val mentions = Mentions.extract(repos)
+    val flat = Features.accountTokenCounts(mentions, repos, accounts)
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    val typed = Features.accountBow(mentions, repos, accounts)
+      .collect().flatMap { case (id, bow) => bow.map { case (t, n) => (id, t) -> n } }
+      .toMap
+    assert(typed == flat)
+  }
+
+  test("topic-biased mentions make the co-mention graph assortative") {
+    // same-topic edge mass should clearly exceed the 1/12 random baseline —
+    // this is the signal the sg_cos feature relies on
+    val scale = CorpusGen.Small
+    val mentions = Mentions.extract(CorpusGen.repos(spark, scale).toDF())
+    val edges = Features.socialEdges(mentions, CorpusGen.accounts(spark, scale).toDF())
+      .collect()
+    val same = edges.iterator.map { r =>
+      val src = r.getLong(0) - 100000L
+      val dst = r.getLong(1) - 100000L
+      val f = r.getLong(2)
+      (if (CorpusGen.accountTopic(src, scale) == CorpusGen.accountTopic(dst, scale)) f else 0L, f)
+    }.toSeq
+    val ratio = same.map(_._1).sum.toDouble / same.map(_._2).sum
+    assert(ratio > 0.25, s"same-topic edge mass ratio $ratio (random would be ~0.083)")
+  }
+}

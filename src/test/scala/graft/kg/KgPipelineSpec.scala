@@ -42,10 +42,7 @@ class KgPipelineSpec extends AnyFunSuite with SparkTestBase {
 
   test("gold evaluation: selection quality is high on the planted corpus") {
     val scale = CorpusGen.Tiny
-    val r = Pipeline.compute(spark,
-      CorpusGen.repos(spark, scale).toDF(),
-      CorpusGen.entities(spark, scale).toDF(),
-      CorpusGen.accounts(spark, scale).toDF())
+    val r = Pipeline.computeForScale(spark, scale)
     val row = Scorer.evaluate(r.alignments, CorpusGen.gold(spark, scale).toDF())
       .collect()(0)
     val (p, rec) = (row.getAs[Double]("precision"), row.getAs[Double]("recall"))
@@ -57,9 +54,7 @@ class KgPipelineSpec extends AnyFunSuite with SparkTestBase {
     val repos = CorpusGen.repos(spark, scale).toDF()
     val src = repos.select(sha2(col("content"), 256).as("sha"))
       .distinct().collect().map(_.getString(0)).toSet
-    val lineage = Pipeline.compute(spark, repos,
-      CorpusGen.entities(spark, scale).toDF(),
-      CorpusGen.accounts(spark, scale).toDF()).lineage
+    val lineage = Pipeline.computeForScale(spark, scale).lineage
     val got = lineage.select(col("content_sha")).distinct()
       .collect().map(_.getString(0)).toSet
     assert(got == src, s"lineage sha set mismatch: |got|=${got.size} |src|=${src.size}")
