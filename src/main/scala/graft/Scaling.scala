@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import graft.kg.{CorpusGen, Pipeline}
+import graft.kg._
 
 /** Scaling-efficiency evidence (north rule: ≥0.8 between N and 4N).
   *
@@ -44,6 +44,44 @@ object Scaling {
     } finally spark.stop()
   }
 
+  /** Per-stage wall times at one parallelism level (fresh session; each
+    * stage persisted+counted so the next stage starts from materialized
+    * input — the per-stage N vs 4N efficiency evidence).
+    */
+  def stageTimes(cores: Int, scale: CorpusGen.Scale): Seq[(String, Double)] = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val spark = session(cores)
+    Pipeline.sessionConf(spark)
+    try {
+      val out = Seq.newBuilder[(String, Double)]
+      def time[A](name: String)(f: => A): A = {
+        val t0 = System.nanoTime()
+        val r = f
+        out += ((name, (System.nanoTime() - t0) / 1e9))
+        r
+      }
+      val repos = CorpusGen.repos(spark, scale).toDF()
+      val entities = CorpusGen.entities(spark, scale).toDF()
+      val accounts = CorpusGen.accounts(spark, scale).toDF()
+      time("corpus_synthesis")(repos.count())
+      val mentions = Mentions.extract(repos).persist(MEMORY_AND_DISK)
+      time("mentions")(mentions.count())
+      val dict = Dictionary.build(spark, mentions, accounts).persist(MEMORY_AND_DISK)
+      time("dictionary")(dict.count())
+      val cands = CandidateGen.candidates(spark, entities, dict).persist(MEMORY_AND_DISK)
+      time("candidates")(cands.count())
+      val aligned = Scorer.score(cands, entities, accounts, mentions, repos,
+          CorpusGen.accountEmbeddings(spark, scale).toDF(),
+          CorpusGen.entityEmbeddings(spark, scale).toDF())
+        .persist(MEMORY_AND_DISK)
+      time("features_scoring")(aligned.count())
+      val reps = Canonicalize.representatives(spark, aligned).persist(MEMORY_AND_DISK)
+      time("components")(reps.count())
+      time("triples")(Triples.materialize(aligned, reps).count())
+      out.result()
+    } finally spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
     val nFiles = args.headOption.map(_.toInt).getOrElse(2000000)
     // N=4 vs 4N=16: this sandbox VM is a 32-core guest whose measured
@@ -70,8 +108,20 @@ object Scaling {
     val filesPerSecLo = nFiles / tLo
     val filesPerSecHi = nFiles / tHi
     val triplesPerSecHi = nTriplesHi / tHi
+    // per-stage efficiency (one pass per level, stages materialized in order)
+    val stLo = stageTimes(nLo, scale)
+    val stHi = stageTimes(nHi, scale)
+    val stageMd = stLo.zip(stHi).map { case ((name, lo), (_, hi)) =>
+      f"| $name | $lo%.1f s | $hi%.1f s | ${(lo / hi) / 4.0}%.2f |"
+    }.mkString("\n")
     val md =
-      f"""| $nFiles files / $nTriplesHi%d triples | local[$nLo]: $tLo%.1f s (${filesPerSecLo}%.0f files/s) | local[$nHi]: $tHi%.1f s (${filesPerSecHi}%.0f files/s, ${triplesPerSecHi}%.0f triples/s) | efficiency (T_N/T_4N)/4 = $eff%.2f |"""
+      f"""| $nFiles files / $nTriplesHi%d triples | local[$nLo]: $tLo%.1f s (${filesPerSecLo}%.0f files/s) | local[$nHi]: $tHi%.1f s (${filesPerSecHi}%.0f files/s, ${triplesPerSecHi}%.0f triples/s) | efficiency (T_N/T_4N)/4 = $eff%.2f |
+         |
+         |Per-stage (single pass each level, persisted inputs, same corpus):
+         |
+         || stage | local[$nLo] | local[$nHi] | efficiency |
+         ||---|---|---|---|
+         |$stageMd""".stripMargin
     val p = java.nio.file.Paths.get("BENCH")
     java.nio.file.Files.createDirectories(p)
     val f = p.resolve("BASELINE.md")

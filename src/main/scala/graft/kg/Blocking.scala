@@ -26,6 +26,15 @@ object Blocking {
   val Lanes = 12
   val Bands = 4 // 3 lanes per band
 
+  /** Max dictionary names sharing one band key before the band is dropped
+    * from the fuzzy join (same hot-bucket control as ops.Dedup: a band this
+    * dense carries no discriminative signal, and on a real corpus it is
+    * what turns the band join quadratic; a true near-miss pair still
+    * collides in one of the other bands w.h.p.). Never reached on the
+    * synthetic corpora (BlockingSpec asserts headroom).
+    */
+  val BandCap = 1000
+
   private def fnv(s: String): Long = {
     var h = 0xcbf29ce484222325L
     var i = 0
@@ -76,11 +85,15 @@ object Blocking {
     * are (key, name) DataFrames with distinct names.
     */
   def fuzzyNameMatches(qnames: DataFrame, dictNames: DataFrame,
-      threshold: Double): DataFrame = {
+      threshold: Double, bandCap: Int = BandCap): DataFrame = {
     val q = qnames
       .withColumn("band", explode(bandKeysUdf(col("qname"))))
     val d = dictNames
       .withColumn("band", explode(bandKeysUdf(col("name"))))
+      .withColumn("bsz", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("band"))))
+      .filter(col("bsz") <= bandCap)
+      .drop("bsz")
     q.join(d, Seq("band"))
       .select(col("entity_id"), col("qname"), col("name"))
       .distinct()

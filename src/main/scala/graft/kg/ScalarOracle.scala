@@ -192,10 +192,12 @@ object ScalarOracle {
           val matchedNames = mutable.HashSet.empty[String]
           qnames.foreach { qn =>
             Blocking.bandKeys(qn).foreach { bk =>
-              dictNamesByBand.get(bk).foreach(_.foreach { dn =>
-                if (Blocking.jaccardShingles(qn, dn) >= conf.fuzzyThreshold)
-                  matchedNames += dn
-              })
+              // hot-band cap mirror (Blocking.fuzzyNameMatches bandCap)
+              dictNamesByBand.get(bk).filter(_.size <= Blocking.BandCap)
+                .foreach(_.foreach { dn =>
+                  if (Blocking.jaccardShingles(qn, dn) >= conf.fuzzyThreshold)
+                    matchedNames += dn
+                })
             }
           }
           val m = mutable.HashMap.empty[Long, Long]

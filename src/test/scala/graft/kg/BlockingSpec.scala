@@ -35,6 +35,35 @@ class BlockingSpec extends AnyFunSuite with SparkTestBase {
     assert(got == Set(("kb:e1", "ada lxvelace"), ("kb:e2", "grace hoppxr")))
   }
 
+  test("hot bands are dropped by the cap; cold bands still match") {
+    import spark.implicits._
+    val qnames = Seq(("kb:e1", "ada lovelace")).toDF("entity_id", "qname")
+    // 3 copies of the near-miss → with cap 2 its bands are hot and dropped
+    val dictNames = Seq("ada lxvelace", "ada lxvelace2", "ada lxvelace3")
+      .toDF("name")
+    val capped = Blocking.fuzzyNameMatches(qnames, dictNames, 0.5, bandCap = 2)
+      .collect()
+    val uncapped = Blocking.fuzzyNameMatches(qnames, dictNames, 0.5)
+      .collect()
+    assert(uncapped.length >= capped.length)
+    assert(uncapped.nonEmpty)
+  }
+
+  test("band occupancy on the Small dictionary leaves ample cap headroom") {
+    import spark.implicits._
+    val scale = CorpusGen.Small
+    val dict = Dictionary.build(spark,
+      Mentions.extract(CorpusGen.repos(spark, scale).toDF()),
+      CorpusGen.accounts(spark, scale).toDF())
+    val maxBand = dict.select(org.apache.spark.sql.functions.col("name")).distinct()
+      .withColumn("band", org.apache.spark.sql.functions.explode(
+        Blocking.bandKeysUdf(org.apache.spark.sql.functions.col("name"))))
+      .groupBy("band").count()
+      .agg(org.apache.spark.sql.functions.max("count")).collect()(0).getLong(0)
+    assert(maxBand <= Blocking.BandCap / 4,
+      s"max band occupancy $maxBand too close to cap ${Blocking.BandCap}")
+  }
+
   test("pipeline end-to-end: zero-exact-candidate entity gains fuzzy candidates") {
     // build a miniature world directly: dictionary has only a near-miss name
     import spark.implicits._
