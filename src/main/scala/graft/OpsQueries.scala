@@ -34,6 +34,24 @@ object OpsQueries {
   val dedupNgram: Q = (s, dir) =>
     Dedup.ngramJaccard(docs(s, dir)).orderBy(col("doc_a"), col("doc_b"))
 
+  /** Oracle for the LSH path itself: the brute-force all-pairs ground
+    * truth over the WHOLE table. Valid because the banded-minhash blocking
+    * provably loses nothing at the verify sf (OpsSpec "ngram LSH equals
+    * brute force exactly on real sf0.01 docs").
+    */
+  val dedupNgramSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+      |  FROM documents),
+      |g AS (SELECT doc_id, CASE WHEN length(norm) < 4 THEN [norm]
+      |      ELSE list_distinct(list_transform(generate_series(1, length(norm)-3), i -> norm[i:i+3])) END AS grams FROM d)
+      |SELECT * FROM (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    round(len(list_intersect(a.grams, b.grams))::DOUBLE /
+      |      (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))), 4) AS jaccard
+      |  FROM g a JOIN g b ON a.doc_id < b.doc_id)
+      |WHERE jaccard >= 0.8 ORDER BY doc_a, doc_b""".stripMargin
+
   val dedupEmbedding: Q = (s, dir) =>
     Dedup.embeddingNearDups(embs(s, dir)).orderBy(col("vec_a"), col("vec_b"))
 
@@ -100,7 +118,42 @@ object OpsQueries {
   val annIvfTopk: Q = (s, dir) => {
     val e = embs(s, dir)
     Similarity.ivfTopK(e, queriesOf(e), k = 10, nCells = 16, nProbe = 4, dim = 64)
+      .withColumn("rnk", col("rnk").cast("long"))
       .orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** The IVF path is fully deterministic (fixed pseudo-random centroids),
+    * so the oracle replays it in SQL with the SAME centroids embedded as
+    * literals: nearest-cell assignment (tie → larger cell id, matching
+    * array_max over (cos, c) structs), nProbe=4 probes per query, exact
+    * cosine top-k within the probed cells.
+    */
+  val annIvfTopkSql: String = {
+    val centroids = (0 until 16).map { c =>
+      val vs = Similarity.centroidVec(c, 64).map(_.toString).mkString(", ")
+      s"SELECT $c AS c, [$vs]::DOUBLE[] AS cv"
+    }.mkString(" UNION ALL ")
+    s"""WITH centroids AS ($centroids),
+       |corpus AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |assigned AS (
+       |  SELECT vec_id, v, c AS cell FROM (
+       |    SELECT corpus.vec_id, corpus.v, centroids.c,
+       |      row_number() OVER (PARTITION BY corpus.vec_id
+       |        ORDER BY list_cosine_similarity(corpus.v, centroids.cv) DESC, centroids.c DESC) AS rn
+       |    FROM corpus, centroids) WHERE rn = 1),
+       |probes AS (
+       |  SELECT query_id, qv, c AS cell FROM (
+       |    SELECT q.vec_id AS query_id, q.v AS qv, centroids.c,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY list_cosine_similarity(q.v, centroids.cv) DESC, centroids.c DESC) AS rn
+       |    FROM corpus q, centroids WHERE q.vec_id < 5) WHERE rn <= 4),
+       |scored AS (
+       |  SELECT p.query_id, a.vec_id, list_cosine_similarity(p.qv, a.v) AS cos
+       |  FROM probes p JOIN assigned a ON p.cell = a.cell)
+       |SELECT query_id, vec_id, CAST(round(cos, 4) AS DOUBLE) AS cos, rnk FROM (
+       |  SELECT query_id, vec_id, cos,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rnk
+       |  FROM scored) WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin
   }
 
   // ---------------------------------------------------------------- text
@@ -149,6 +202,26 @@ object OpsQueries {
 
   val textFingerprint: Q = (s, dir) =>
     TextAnalysis.fingerprints(docs(s, dir)).orderBy(col("doc_id"))
+
+  /** The rolling 64-bit polynomial hash replayed in SQL: fold over the
+    * normalized text's char codes in HUGEINT with an explicit mod-2⁶⁴ wrap
+    * (DuckDB integer ops error on overflow; Java longs wrap), then mapped
+    * back to the signed two's-complement value.
+    */
+  val textFingerprintSql: String =
+    """WITH n AS (
+      |  SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS s FROM documents),
+      |f AS (
+      |  SELECT doc_id,
+      |    list_reduce(
+      |      list_prepend(0::HUGEINT,
+      |        list_transform(range(1, length(s) + 1), i -> ascii(s[i])::HUGEINT)),
+      |      (h, c) -> (h * 1315423911 + c) % 18446744073709551616::HUGEINT) AS hu
+      |  FROM n)
+      |SELECT doc_id,
+      |  CAST(CASE WHEN hu >= 9223372036854775808::HUGEINT
+      |    THEN hu - 18446744073709551616::HUGEINT ELSE hu END AS BIGINT) AS fingerprint
+      |FROM f ORDER BY doc_id""".stripMargin
 
   private val tokensSqlExpr =
     "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')"
@@ -369,6 +442,9 @@ object OpsQueries {
     "dedup_exact" -> dedupExactSql,
     "dedup_minhash_brute" -> dedupMinhashBruteSql,
     "dedup_ngram_brute" -> dedupNgramBruteSql,
+    "dedup_ngram_jaccard" -> dedupNgramSql,
+    "ann_ivf_topk" -> annIvfTopkSql,
+    "text_fingerprint" -> textFingerprintSql,
     "edge_normalize" -> edgeNormalizeSql,
     "emb_weighted_avg" -> embWeightedAvgSql,
     "cooc_pairs" -> coocPairsSql,

@@ -531,12 +531,23 @@ object Queries {
       |  count(*) AS n, round(sum(value), 4) AS total
       |FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin
 
-  /** True Structured Streaming run (memory sink, Complete mode) — rows-only. */
+  /** True Structured Streaming run (memory sink, Complete mode). The
+    * bounded file stream fully drains, so Complete-mode output equals the
+    * batch aggregation — which makes it DuckDB-oracle-able.
+    */
   val streamWindowedCounts: Q = (s, dir) =>
     graft.streaming.EventStream.runFileStream(s, dir,
       df => graft.streaming.EventStream.windowedCounts(df),
       org.apache.spark.sql.streaming.OutputMode.Complete(),
       s"stream_q_${System.nanoTime()}")
+      .select(col("w_start").cast("timestamp_ntz").as("w_start"),
+        col("event_type"), col("n"), col("total"))
+      .orderBy(col("w_start"), col("event_type"))
+
+  val streamWindowedCountsSql: String =
+    """SELECT date_trunc('day', ts) AS w_start, event_type,
+      |  count(*) AS n, round(sum(value), 4) AS total
+      |FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin
 
   // ------------------------------------------------------------------
   // registry
@@ -601,6 +612,7 @@ object Queries {
     "f21_sha256" -> f21Sha256Sql,
     "f9_recency" -> f9RecencySql,
     "t2_windowed_agg" -> t2WindowedAggSql,
+    "stream_windowed_counts" -> streamWindowedCountsSql,
     "p2_length_filter" -> p2LengthFilterSql,
     "p5_lang_filter" -> p5LangFilterSql,
     "f8_onehot" -> f8OnehotSql,

@@ -46,12 +46,18 @@ object Similarity {
       .select(col("query_id"), col("vec_id"), round(col("cos"), 4).as("cos"), col("rnk"))
   }
 
+  /** Deterministic pseudo-random centroid c as a scalar array (shared with
+    * the generated DuckDB oracle, which embeds these as literals).
+    */
+  def centroidVec(c: Int, dim: Int): Array[Double] =
+    Array.tabulate(dim) { j =>
+      val h = graft.kg.CorpusGen.mix(0x9e3779b9L * (c + 1) + j * 1013904223L)
+      ((h >>> 11).toDouble / (1L << 53).toDouble) * 2.0 - 1.0
+    }
+
   /** Deterministic pseudo-random centroid c (array literal, no data pass). */
   def centroidCol(c: Int, dim: Int): Column =
-    array((0 until dim).map { j =>
-      val h = graft.kg.CorpusGen.mix(0x9e3779b9L * (c + 1) + j * 1013904223L)
-      lit(((h >>> 11).toDouble / (1L << 53).toDouble) * 2.0 - 1.0)
-    }: _*)
+    array(centroidVec(c, dim).map(lit(_)).toSeq: _*)
 
   /** Nearest-centroid id among nCells fixed centroids (argmax cosine). */
   def cellOf(emb: Column, nCells: Int, dim: Int): Column = {
