@@ -18,7 +18,7 @@ object CcProfile {
     val mentions = Mentions.extract(repos).persist(MEMORY_AND_DISK)
     val dict = Dictionary.build(spark, mentions, accounts).persist(MEMORY_AND_DISK)
     val cands = CandidateGen.candidates(spark, entities, dict)
-    val aligned = Scorer.score(cands, entities, accounts, mentions, repos,
+    val aligned = Scorer.score(cands, entities, accounts, repos,
       CorpusGen.accountEmbeddings(spark, scale).toDF(),
       CorpusGen.entityEmbeddings(spark, scale).toDF()).persist(MEMORY_AND_DISK)
     println(s"[cc] aligned rows=${aligned.count()}")

@@ -53,7 +53,7 @@ object KgQueries {
   /** A4+A5 on the kg corpus itself: normalized co-mention edges. */
   val socialGraph: Q = (s, dir) => {
     val scale = scaleFor(dir)
-    Features.socialEdges(result(s, dir).mentions,
+    Features.socialEdges(CorpusGen.repos(s, scale).toDF(),
         CorpusGen.accounts(s, scale).toDF())
       .select(col("src"), col("dst"), col("freq"), round(col("w"), 6).as("w"))
       .orderBy(col("src"), col("dst"))

@@ -54,13 +54,13 @@ object Profile {
     time("candidates")(cands.count())
 
     // feature-table sub-steps
-    val (accVec, entVec) = Features.textVectors(mentions, repos, accounts, entities)
+    val (accVec, entVec) = Features.textVectors(repos, accounts, entities)
     time("text_vectors")(accVec.count() + entVec.count())
-    val sgv = Features.sgVectors(Features.socialEdges(mentions, accounts),
+    val sgv = Features.sgVectors(Features.socialEdges(repos, accounts),
       CorpusGen.accountEmbeddings(spark, scale).toDF())
     time("social_graph")(sgv.count())
 
-    val aligned = Scorer.score(cands, entities, accounts, mentions, repos,
+    val aligned = Scorer.score(cands, entities, accounts, repos,
       CorpusGen.accountEmbeddings(spark, scale).toDF(),
       CorpusGen.entityEmbeddings(spark, scale).toDF()).persist(MEMORY_AND_DISK)
     time("scoring")(aligned.count())

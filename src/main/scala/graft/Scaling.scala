@@ -70,7 +70,7 @@ object Scaling {
       time("dictionary")(dict.count())
       val cands = CandidateGen.candidates(spark, entities, dict).persist(MEMORY_AND_DISK)
       time("candidates")(cands.count())
-      val aligned = Scorer.score(cands, entities, accounts, mentions, repos,
+      val aligned = Scorer.score(cands, entities, accounts, repos,
           CorpusGen.accountEmbeddings(spark, scale).toDF(),
           CorpusGen.entityEmbeddings(spark, scale).toDF())
         .persist(MEMORY_AND_DISK)
@@ -111,8 +111,9 @@ object Scaling {
     // per-stage efficiency (one pass per level, stages materialized in order)
     val stLo = stageTimes(nLo, scale)
     val stHi = stageTimes(nHi, scale)
+    // each line needs the stripMargin pipe PLUS the markdown pipe
     val stageMd = stLo.zip(stHi).map { case ((name, lo), (_, hi)) =>
-      f"| $name | $lo%.1f s | $hi%.1f s | ${(lo / hi) / 4.0}%.2f |"
+      f"|| $name | $lo%.1f s | $hi%.1f s | ${(lo / hi) / 4.0}%.2f |"
     }.mkString("\n")
     val md =
       f"""| $nFiles files / $nTriplesHi%d triples | local[$nLo]: $tLo%.1f s (${filesPerSecLo}%.0f files/s) | local[$nHi]: $tHi%.1f s (${filesPerSecHi}%.0f files/s, ${triplesPerSecHi}%.0f triples/s) | efficiency (T_N/T_4N)/4 = $eff%.2f |

@@ -30,14 +30,22 @@ object ScoreProfile {
     val cands = CandidateGen.candidates(spark, entities, dict).persist(MEMORY_AND_DISK)
     time("cands")(cands.count())
 
-    val feats = Scorer.featurize(cands, entities, accounts, mentions, repos,
+    time("acc_token_counts")(
+      Features.accountTokenCounts(repos, accounts).count())
+    val (avec, evec) = Features.textVectors(repos, accounts, entities)
+    time("text_vectors")(avec.count() + evec.count())
+    time("social_edges")(Features.socialEdges(repos, accounts).count())
+    time("sg_vectors")(Features.sgVectors(
+      Features.socialEdges(repos, accounts), accEmb).count())
+
+    val feats = Scorer.featurize(cands, entities, accounts, repos,
       accEmb, entEmb).persist(MEMORY_AND_DISK)
     time("featurize_all")(feats.count())
     time("agg name_sim")(feats.agg(sum(col("name_sim"))).collect())
     time("agg text_cos")(feats.agg(sum(col("text_cos"))).collect())
     time("agg sg_cos")(feats.agg(sum(col("sg_cos"))).collect())
 
-    val aligned = Scorer.score(cands, entities, accounts, mentions, repos,
+    val aligned = Scorer.score(cands, entities, accounts, repos,
       accEmb, entEmb).persist(MEMORY_AND_DISK)
     time("score_full")(aligned.count())
     val reps = Canonicalize.representatives(spark, aligned).persist(MEMORY_AND_DISK)

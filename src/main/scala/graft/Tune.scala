@@ -36,7 +36,6 @@ object Tune {
     val feats = Scorer.featurize(r.candidates,
       CorpusGen.entities(spark, scale).toDF(),
       CorpusGen.accounts(spark, scale).toDF(),
-      r.mentions,
       CorpusGen.repos(spark, scale).toDF(),
       CorpusGen.accountEmbeddings(spark, scale).toDF(),
       CorpusGen.entityEmbeddings(spark, scale).toDF())

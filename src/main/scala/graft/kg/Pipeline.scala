@@ -52,7 +52,7 @@ object Pipeline {
     // whole corpus-scan → dictionary → scoring chain recomputes per
     // consumer (~3× wall). Persisted size is O(|entities| × topK), tiny
     // next to the corpus.
-    val aligned = Scorer.score(cands, entities, accounts, mentions, repos,
+    val aligned = Scorer.score(cands, entities, accounts, repos,
         accountEmbeddings, entityEmbeddings, conf)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val reps = Canonicalize.representatives(spark, aligned, conf)
@@ -113,7 +113,7 @@ object Pipeline {
       CandidateGen.candidates(spark, entities, dict, conf)
     }
     val aligned = Checkpoint.stage(spark, root, "alignments", params = params) {
-      Scorer.score(cands, entities, accounts, mentions, repos, accEmb, entEmb, conf)
+      Scorer.score(cands, entities, accounts, repos, accEmb, entEmb, conf)
     }
     val reps = Checkpoint.stage(spark, root, "representatives", params = params) {
       Canonicalize.representatives(spark, aligned, conf)

@@ -75,11 +75,11 @@ object Scorer {
     * weighting so weights can be swept without recomputing features.
     */
   def featurize(candidates: DataFrame, entities: DataFrame, accounts: DataFrame,
-      mentions: DataFrame, repos: DataFrame, accountEmbeddings: DataFrame,
+      repos: DataFrame, accountEmbeddings: DataFrame,
       entityEmbeddings: DataFrame): DataFrame = {
-    val (accVec, entVec) = Features.textVectors(mentions, repos, accounts, entities)
+    val (accVec, entVec) = Features.textVectors(repos, accounts, entities)
     val sgVec = Features.sgVectors(
-      Features.socialEdges(mentions, accounts), accountEmbeddings)
+      Features.socialEdges(repos, accounts), accountEmbeddings)
 
     val ent = entities.select(col("id").as("entity_id"),
         namesNormUdf(col("names")).as("names_norm"),
@@ -124,9 +124,9 @@ object Scorer {
     * is_alignment) — rank recomputed by (score desc, account_id asc).
     */
   def score(candidates: DataFrame, entities: DataFrame, accounts: DataFrame,
-      mentions: DataFrame, repos: DataFrame, accountEmbeddings: DataFrame,
+      repos: DataFrame, accountEmbeddings: DataFrame,
       entityEmbeddings: DataFrame, conf: KgConf = KgConf()): DataFrame = {
-    val feats = featurize(candidates, entities, accounts, mentions, repos,
+    val feats = featurize(candidates, entities, accounts, repos,
       accountEmbeddings, entityEmbeddings)
     val z =
       lit(conf.wName) * col("name_sim") +

@@ -36,8 +36,8 @@ class FeaturesSpec extends AnyFunSuite with SparkTestBase {
 
   test("social edges: min-freq filter and per-src normalized weights sum to 1") {
     val scale = CorpusGen.Tiny
-    val mentions = Mentions.extract(CorpusGen.repos(spark, scale).toDF())
-    val edges = Features.socialEdges(mentions, CorpusGen.accounts(spark, scale).toDF())
+    val edges = Features.socialEdges(CorpusGen.repos(spark, scale).toDF(),
+      CorpusGen.accounts(spark, scale).toDF())
     assert(edges.filter(col("freq") < 2).count() == 0)
     val sums = edges.groupBy(col("src")).agg(sum(col("w")).as("s"))
       .filter(abs(col("s") - 1.0) > 1e-9)
@@ -59,10 +59,9 @@ class FeaturesSpec extends AnyFunSuite with SparkTestBase {
     val scale = CorpusGen.Tiny
     val repos = CorpusGen.repos(spark, scale).toDF()
     val accounts = CorpusGen.accounts(spark, scale).toDF()
-    val mentions = Mentions.extract(repos)
-    val flat = Features.accountTokenCounts(mentions, repos, accounts)
+    val flat = Features.accountTokenCounts(repos, accounts)
       .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
-    val typed = Features.accountBow(mentions, repos, accounts)
+    val typed = Features.accountBow(repos, accounts)
       .collect().flatMap { case (id, bow) => bow.map { case (t, n) => (id, t) -> n } }
       .toMap
     assert(typed == flat)
@@ -72,8 +71,8 @@ class FeaturesSpec extends AnyFunSuite with SparkTestBase {
     // same-topic edge mass should clearly exceed the 1/12 random baseline —
     // this is the signal the sg_cos feature relies on
     val scale = CorpusGen.Small
-    val mentions = Mentions.extract(CorpusGen.repos(spark, scale).toDF())
-    val edges = Features.socialEdges(mentions, CorpusGen.accounts(spark, scale).toDF())
+    val edges = Features.socialEdges(CorpusGen.repos(spark, scale).toDF(),
+      CorpusGen.accounts(spark, scale).toDF())
       .collect()
     val same = edges.iterator.map { r =>
       val src = r.getLong(0) - 100000L
