@@ -20,25 +20,30 @@ object Mentions {
 
   /** `// @author screen (Display Name)` / `// @mention screen (Display Name)` */
   private val AnnotationRe = "// @(author|mention) (\\S+) \\(([^)]*)\\)"
+  private val CompiledRe = AnnotationRe.r
 
   def withSha(repos: DataFrame): DataFrame =
     repos.withColumn("content_sha", sha2(col("content"), 256))
 
+  /** All annotations of one content string in match order — ONE compiled
+    * regex pass (the equivalent 3× regexp_extract_all formulation scanned
+    * every content string three times; this stage is a full corpus read,
+    * so the pass count is the cost).
+    */
+  val annotationsUdf = udf((content: String) =>
+    if (content == null) Seq.empty[(String, String, String)]
+    else CompiledRe.findAllMatchIn(content)
+      .map(m => (m.group(1), m.group(2), m.group(3))).toSeq)
+
   /** One output row per annotation occurrence:
     * (repo, path, commit, content_sha, kind, screen_name, display_name).
     */
-  def extract(repos: DataFrame): DataFrame = {
-    val re = lit(AnnotationRe)
-    val zipped: Column = arrays_zip(
-      regexp_extract_all(col("content"), re, lit(1)).as("kind"),
-      regexp_extract_all(col("content"), re, lit(2)).as("screen_name"),
-      regexp_extract_all(col("content"), re, lit(3)).as("display_name"))
+  def extract(repos: DataFrame): DataFrame =
     withSha(repos)
       .select(col("repo"), col("path"), col("commit"), col("content_sha"),
-        explode(zipped).as("m"))
+        explode(annotationsUdf(col("content"))).as("m"))
       .select(col("repo"), col("path"), col("commit"), col("content_sha"),
-        col("m.kind").as("kind"),
-        col("m.screen_name").as("screen_name"),
-        col("m.display_name").as("display_name"))
-  }
+        col("m._1").as("kind"),
+        col("m._2").as("screen_name"),
+        col("m._3").as("display_name"))
 }
