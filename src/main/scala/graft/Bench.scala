@@ -48,8 +48,10 @@ object Bench {
       // throughput run measures the pipeline, not storage-eviction thrash
       spark.catalog.clearCache()
       val t0 = System.nanoTime()
-      val n = kg.Pipeline.triplesForScale(spark, KgQueries.scaleFor(sfDir)).count()
+      val r = kg.Pipeline.computeForScale(spark, KgQueries.scaleFor(sfDir))
+      val n = r.triples.count()
       triplesPerSec = n / ((System.nanoTime() - t0) / 1e9)
+      r.unpersist()
     }
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -498,6 +498,26 @@ object Queries {
       .orderBy(col("p_partkey"))
   }
 
+  /** F2 url/media-token semantics (TextProcessor.java:30-93: urls and
+    * media collapse to placeholder tokens before tokenization) adapted to
+    * a code corpus: URLs → `<url>`, double-quoted string literals →
+    * `<str>`, then lowercase + whitespace collapse.
+    */
+  val f2CodeNormalize: Q = (s, dir) =>
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        trim(regexp_replace(lower(regexp_replace(regexp_replace(col("text"),
+          "https?://\\S+", " <url> "), "\"[^\"]*\"", " <str> ")),
+          "\\s+", " ")).as("norm"))
+      .orderBy(col("doc_id"))
+
+  val f2CodeNormalizeSql: String =
+    """SELECT doc_id,
+      |  trim(regexp_replace(lower(regexp_replace(regexp_replace(text,
+      |    'https?://\S+', ' <url> ', 'g'), '"[^"]*"', ' <str> ', 'g')),
+      |    '\s+', ' ', 'g')) AS norm
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   val f2SplitIdentifierSql: String =
     """SELECT p_partkey, camel,
       |  array_to_string(list_filter(regexp_split_to_array(
@@ -588,6 +608,7 @@ object Queries {
     "a10_zero_fill" -> a10ZeroFill,
     "a11_json_agg" -> a11JsonAgg,
     "f2_split_identifier" -> f2SplitIdentifier,
+    "f2_code_normalize" -> f2CodeNormalize,
   ) ++ OpsQueries.all ++ KgQueries.all
 
   def oracles: Map[String, String] = Map(
@@ -624,5 +645,6 @@ object Queries {
     "a10_zero_fill" -> a10ZeroFillSql,
     "a11_json_agg" -> a11JsonAggSql,
     "f2_split_identifier" -> f2SplitIdentifierSql,
+    "f2_code_normalize" -> f2CodeNormalizeSql,
   ) ++ OpsQueries.oracles ++ KgQueries.oracles
 }

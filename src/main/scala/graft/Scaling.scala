@@ -83,6 +83,14 @@ object Scaling {
   }
 
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("stages")) {
+      val nFiles = args.lift(1).map(_.toInt).getOrElse(2000000)
+      val cores = args.lift(2).map(_.toInt).getOrElse(16)
+      stageTimes(cores, CorpusGen.benchAt(nFiles)).foreach { case (n, t) =>
+        println(f"[stages] $n%-20s $t%8.2f s (local[$cores])")
+      }
+      return
+    }
     val nFiles = args.headOption.map(_.toInt).getOrElse(2000000)
     // N=4 vs 4N=16: this sandbox VM is a 32-core guest whose measured
     // parallel throughput flattens past ~16 workers (pure-CPU burn test:
@@ -122,7 +130,7 @@ object Scaling {
          |
          || stage | local[$nLo] | local[$nHi] | efficiency |
          ||---|---|---|---|
-         |$stageMd""".stripMargin
+$stageMd""".stripMargin
     val p = java.nio.file.Paths.get("BENCH")
     java.nio.file.Files.createDirectories(p)
     val f = p.resolve("BASELINE.md")

@@ -27,7 +27,17 @@ object Pipeline {
       lineage: DataFrame,
       mentions: DataFrame,
       dictionary: DataFrame,
-      candidates: DataFrame)
+      candidates: DataFrame) {
+    /** Release the frames compute() persisted — a long-lived session
+      * running many pipelines accumulates cache otherwise (storage
+      * eviction then fights execution memory).
+      */
+    def unpersist(): Unit = {
+      alignments.unpersist()
+      dictionary.unpersist()
+      mentions.unpersist()
+    }
+  }
 
   def sessionConf(spark: SparkSession): Unit = {
     // AQE handles runtime coalescing + skew-join splitting (SURVEY §2.9 X4)
