@@ -41,17 +41,4 @@ object Dictionary {
       .agg(count(lit(1)).as("freq"))
   }
 
-  /** Per-account corpus text (A3 analogue, BuildUserIndex.java:113-123):
-    * authored file contents concatenated, sort_array'd for determinism
-    * (the reference's concat order is nondeterministic — SURVEY §2.4 A3).
-    */
-  def accountText(mentions: DataFrame, repos: DataFrame): DataFrame = {
-    val authored = mentions.filter(col("kind") === "author")
-      .select(col("repo"), col("path"), col("commit"), col("screen_name"))
-    authored
-      .join(repos.select(col("repo"), col("path"), col("commit"), col("content")),
-        Seq("repo", "path", "commit"))
-      .groupBy(col("screen_name"))
-      .agg(concat_ws("\n", sort_array(collect_list(col("content")))).as("text"))
-  }
 }

@@ -104,16 +104,6 @@ object Dedup {
     Array.tabulate(bands)(b => xxLongArray(mins, b * rows, (b + 1) * rows))
   }
 
-  /** |a ∩ b| / |a ∪ b| over distinct-element string arrays. */
-  def setJaccard(a: Seq[String], b: Seq[String]): Double = {
-    if (a == null || b == null || a.isEmpty || b.isEmpty) return 0.0
-    val sa = a.toSet
-    var inter = 0
-    b.foreach(x => if (sa.contains(x)) inter += 1)
-    val union = sa.size + b.size - inter
-    if (union == 0) 0.0 else inter.toDouble / union.toDouble
-  }
-
   /** Jaccard over SORTED distinct long arrays (merge intersection — the
     * brute-force all-pairs path hashes each gram to 64 bits once per doc,
     * then every pair comparison is a primitive merge instead of string-set
