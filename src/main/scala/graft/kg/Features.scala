@@ -29,13 +29,21 @@ object Features {
   /** Word tokens (shared scalar tokenizer — dims only, never per-pair). */
   val tokensUdf = udf((s: String) => Text.tokens(s))
 
-  /** token-sorted (token, w) entry array + L2 norm from (key, token, tf,
-    * idf) rows; the sorted array fixes the fold order of every consumer.
+  /** hash-sorted (h = xxhash64(0, token), w) entry array + L2 norm from
+    * (key, token, tf, idf) rows. Tokens are carried as 64-bit hashes from
+    * here on: the entry arrays ride through the widest join of the
+    * pipeline (one copy per candidate PAIR), so 16-byte entries instead of
+    * string+double cut that memory traffic ~2.5×; the sorted array fixes
+    * the fold order of every consumer (the scalar oracle sorts by the
+    * same hash — ops.Dedup.xxLane(0, token) mirrors the expression).
+    * A same-document token-hash collision would need ~|vocab|²/2⁶⁴ luck,
+    * and the oracle hashes identically so even then the two sides agree.
     */
   private def vectorize(tok: DataFrame, key: String): DataFrame =
     tok.withColumn("w", (lit(1.0) + log(col("tf").cast("double"))) * col("idf"))
       .groupBy(col(key))
-      .agg(sort_array(collect_list(struct(col("token"), col("w")))).as("tw"))
+      .agg(sort_array(collect_list(struct(
+        xxhash64(lit(0), col("token")).as("h"), col("w")))).as("tw"))
       .select(col(key),
         col("tw").as("tvec"),
         sqrt(aggregate(col("tw"), lit(0.0),
@@ -154,10 +162,10 @@ object Features {
       else {
         var i = 0; var j = 0; var dot = 0.0
         while (i < etw.length && j < atw.length) {
-          val c = etw(i).getString(0).compareTo(atw(j).getString(0))
-          if (c == 0) {
+          val eh = etw(i).getLong(0); val ah = atw(j).getLong(0)
+          if (eh == ah) {
             dot += etw(i).getDouble(1) * atw(j).getDouble(1); i += 1; j += 1
-          } else if (c < 0) i += 1
+          } else if (eh < ah) i += 1
           else j += 1
         }
         dot / (en * an)

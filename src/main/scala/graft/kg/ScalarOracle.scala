@@ -77,33 +77,36 @@ object ScalarOracle {
       case Some(df) => math.log((nTexts + 1).toDouble / (df.toDouble + 1.0)) + 1.0
       case None => math.log((nTexts + 1).toDouble / 1.0) + 1.0
     }
-    // account vectors: token→weight map + norm (token-sorted fold)
-    val accVec = mutable.HashMap.empty[Long, (Map[String, Double], Double)]
+    // token → 64-bit hash shared with the Spark side (xxhash64(0, token))
+    def th(t: String): Long = graft.ops.Dedup.xxLane(0, t)
+    // account vectors: hash→weight map + norm (hash-sorted fold, matching
+    // sort_array over (h, w) structs)
+    val accVec = mutable.HashMap.empty[Long, (Map[Long, Double], Double)]
     accTf.foreach { case (acc, tf) =>
-      val entries = tf.toSeq.sortBy(_._1).map { case (t, n) =>
-        (t, (1.0 + math.log(n.toDouble)) * idfOf(t))
-      }
+      val entries = tf.toSeq.map { case (t, n) =>
+        (th(t), (1.0 + math.log(n.toDouble)) * idfOf(t))
+      }.sortBy(_._1)
       var norm = 0.0
       entries.foreach { case (_, w) => norm += w * w }
       accVec(acc) = (entries.toMap, math.sqrt(norm))
     }
-    // entity vectors: SORTED entry array (fold order of the Spark dot) + norm
-    def entityVector(abstractText: String): (Seq[(String, Double)], Double) = {
+    // entity vectors: hash-SORTED entry array (fold order of the Spark dot)
+    def entityVector(abstractText: String): (Seq[(Long, Double)], Double) = {
       val tf = mutable.HashMap.empty[String, Long]
       Text.tokens(abstractText).foreach(t => tf(t) = tf.getOrElse(t, 0L) + 1L)
-      val entries = tf.toSeq.sortBy(_._1).map { case (t, n) =>
-        (t, (1.0 + math.log(n.toDouble)) * idfOf(t))
-      }
+      val entries = tf.toSeq.map { case (t, n) =>
+        (th(t), (1.0 + math.log(n.toDouble)) * idfOf(t))
+      }.sortBy(_._1)
       var norm = 0.0
       entries.foreach { case (_, w) => norm += w * w }
       (entries, math.sqrt(norm))
     }
-    def textCos(eEntries: Seq[(String, Double)], eNorm: Double, acc: Long): Double =
+    def textCos(eEntries: Seq[(Long, Double)], eNorm: Double, acc: Long): Double =
       accVec.get(acc) match {
         case Some((aMap, aNorm)) if eNorm > 0 && aNorm > 0 =>
           var dot = 0.0
-          eEntries.foreach { case (t, we) =>
-            aMap.get(t).foreach(wa => dot += we * wa)
+          eEntries.foreach { case (h, we) =>
+            aMap.get(h).foreach(wa => dot += we * wa)
           }
           dot / (eNorm * aNorm)
         case _ => 0.0

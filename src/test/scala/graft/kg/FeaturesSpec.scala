@@ -22,9 +22,10 @@ class FeaturesSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("textCosCol equals a hand-computed TF-IDF cosine") {
-    val e = Seq((1L, Seq(("a", 2.0), ("b", 1.0)), math.sqrt(5.0)))
+    // hash-keyed entries, sorted ascending (the vectorize layout)
+    val e = Seq((1L, Seq((10L, 2.0), (20L, 1.0)), math.sqrt(5.0)))
       .toDF("entity_id", "e_tvec", "e_tnorm")
-    val a = Seq((1L, Seq(("b", 3.0), ("c", 4.0)), 5.0))
+    val a = Seq((1L, Seq((20L, 3.0), (30L, 4.0)), 5.0))
       .toDF("entity_id", "a_tvec", "a_tnorm")
     val got = e.join(a, Seq("entity_id"))
       .select(Features.textCosCol(col("e_tvec"), col("e_tnorm"),
