@@ -76,6 +76,35 @@ object OpsQueries {
       |  FROM g a JOIN g b ON a.doc_id < b.doc_id)
       |WHERE jaccard >= 0.7 ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Pairs → connected components → (doc_id, cluster_rep): the keep/drop
+    * decision of a dedup pass. Oracle = recursive-CTE transitive closure
+    * over the same brute-force pair list.
+    */
+  val dedupClusters: Q = (s, dir) =>
+    Dedup.dupClusters(Dedup.ngramBrute(docs(s, dir).filter(col("doc_id") < 1000)))
+      .orderBy(col("doc_id"))
+
+  val dedupClustersSql: String =
+    """WITH RECURSIVE d AS (
+      |  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+      |  FROM documents WHERE doc_id < 1000),
+      |g AS (SELECT doc_id, CASE WHEN length(norm) < 4 THEN [norm]
+      |      ELSE list_distinct(list_transform(generate_series(1, length(norm)-3), i -> norm[i:i+3])) END AS grams FROM d),
+      |pairs AS (
+      |  SELECT * FROM (
+      |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |      len(list_intersect(a.grams, b.grams))::DOUBLE /
+      |        (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) AS j
+      |    FROM g a JOIN g b ON a.doc_id < b.doc_id) WHERE j >= 0.8),
+      |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+      |          UNION SELECT doc_b, doc_a FROM pairs),
+      |reach(a, b) AS (
+      |  SELECT a, b FROM edges
+      |  UNION
+      |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+      |SELECT a AS doc_id, least(a, min(b)) AS cluster_rep
+      |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin
+
   val dedupNgramBrute: Q = (s, dir) =>
     Dedup.ngramBrute(docs(s, dir).filter(col("doc_id") < 1000))
       .orderBy(col("doc_a"), col("doc_b"))
@@ -422,6 +451,7 @@ object OpsQueries {
     "dedup_embedding_cosine" -> dedupEmbedding,
     "dedup_minhash_brute" -> dedupMinhashBrute,
     "dedup_ngram_brute" -> dedupNgramBrute,
+    "dedup_clusters" -> dedupClusters,
     "edge_normalize" -> edgeNormalize,
     "emb_weighted_avg" -> embWeightedAvg,
     "ann_brute_topk" -> annBruteTopk,
@@ -442,6 +472,7 @@ object OpsQueries {
     "dedup_exact" -> dedupExactSql,
     "dedup_minhash_brute" -> dedupMinhashBruteSql,
     "dedup_ngram_brute" -> dedupNgramBruteSql,
+    "dedup_clusters" -> dedupClustersSql,
     "dedup_ngram_jaccard" -> dedupNgramSql,
     "ann_ivf_topk" -> annIvfTopkSql,
     "text_fingerprint" -> textFingerprintSql,

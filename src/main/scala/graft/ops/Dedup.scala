@@ -559,6 +559,19 @@ object Dedup {
       .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cos"))
   }
 
+  /** Near-dup CLUSTERS from a pair list: connected components over the
+    * pair graph, every member mapped to its cluster representative (the
+    * min doc_id) — the dedup endgame: keep the representative, drop the
+    * rest. Reuses the kg pipeline's iterative min-label propagation
+    * (Canonicalize.components — localCheckpoint'd rounds, O(diameter)).
+    * Only docs that appear in ≥1 pair are emitted (singletons keep
+    * themselves trivially).
+    */
+  def dupClusters(pairs: DataFrame): DataFrame =
+    graft.kg.Canonicalize.components(pairs.sparkSession,
+        pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))
+      .select(col("node").as("doc_id"), col("comp").as("cluster_rep"))
+
   /** Exact all-pairs cosine ≥ threshold (ground truth for recall specs) —
     * broadcast-array flatMap like bruteMatches, no pair-row materialization.
     */

@@ -127,6 +127,16 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(crossNear.map(_._3).size == 1, "cross pairs must inherit one jaccard value")
   }
 
+  test("dupClusters: pairs collapse to min-id cluster representatives") {
+    import spark.implicits._
+    // chain 1-2, 2-3 (one cluster) and 7-9 (another)
+    val pairs = Seq((1L, 2L, 1.0), (2L, 3L, 1.0), (7L, 9L, 0.9))
+      .toDF("doc_a", "doc_b", "jaccard")
+    val got = Dedup.dupClusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
+  }
+
   test("bucket cap drops hot buckets from pair generation") {
     import spark.implicits._
     val sigs = Seq(
