@@ -26,13 +26,28 @@ object KgQueries {
     else if (dir.contains("sf0.01")) CorpusGen.Small
     else CorpusGen.Tiny
 
+  // WeakHashMap keyed by the session OBJECT: entries (and the persisted
+  // frames their Results reference) become collectable once the session is
+  // unreachable — identityHashCode keys would accumulate for the JVM
+  // lifetime and could even (post-GC hash reuse) hand a fresh session a
+  // Result bound to a stopped one.
   private val memo =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), Pipeline.Result]
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[String, Pipeline.Result]]()
 
   /** One pipeline run per (session, scale) — all kg_* queries share it. */
-  def result(s: SparkSession, dir: String): Pipeline.Result =
-    memo.getOrElseUpdate((System.identityHashCode(s), scaleFor(dir).name),
+  def result(s: SparkSession, dir: String): Pipeline.Result = {
+    val perSession = memo.synchronized {
+      var m = memo.get(s)
+      if (m == null) {
+        m = scala.collection.concurrent.TrieMap.empty[String, Pipeline.Result]
+        memo.put(s, m)
+      }
+      m
+    }
+    perSession.getOrElseUpdate(scaleFor(dir).name,
       Pipeline.computeForScale(s, scaleFor(dir)))
+  }
 
   val corpus: Q = (s, dir) =>
     CorpusGen.repos(s, scaleFor(dir)).toDF()

@@ -57,9 +57,16 @@ object Canonicalize {
       // change?") folds into the SAME aggregation — one job per round, no
       // extra join (the old-label max is exact: each node has exactly one
       // own row, neighbor rows carry null).
+      // the null's type MUST come from the actual label column: dupClusters
+      // feeds LONG doc_ids through here, and a hardcoded string null would
+      // widen `old` to string in the union — the changed-count comparison
+      // would then be bigint-vs-string, which non-ANSI Spark resolves by
+      // casting both to DOUBLE, where distinct labels above 2^53 compare
+      // equal (early false convergence → wrong representatives).
       val viaNeighbors = sym
         .join(labels.withColumnRenamed("node", "dst"), Seq("dst"))
-        .select(col("src").as("node"), col("comp"), lit(null).cast("string").as("old"))
+        .select(col("src").as("node"), col("comp"),
+          lit(null).cast(labels.schema("comp").dataType).as("old"))
       val next = viaNeighbors
         .unionByName(labels.select(col("node"), col("comp"), col("comp").as("old")))
         .groupBy(col("node"))

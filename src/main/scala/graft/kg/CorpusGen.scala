@@ -190,7 +190,12 @@ object CorpusGen {
     *   [2E, 2E+N)    pure noise accounts
     * accountId = 100000 + index.
     */
-  def accountIdOf(idx: Long): Long = 100000L + idx
+  /** Base constant of the account-id scheme — shared with ScalarOracle's
+    * inverse mapping so the two sides cannot drift.
+    */
+  val AccountIdBase: Long = 100000L
+
+  def accountIdOf(idx: Long): Long = AccountIdBase + idx
 
   def screenNameOf(idx: Long, scale: Scale): String = {
     val nm = accountDisplayName(idx, scale).toLowerCase.replace(' ', '_').replace(",", "")

@@ -130,22 +130,32 @@ object Features {
 
   def textVectors(repos: DataFrame, accounts: DataFrame,
       entities: DataFrame): (DataFrame, DataFrame) = {
-    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val accTok = accountTokenCounts(repos, accounts)
-      .persist(MEMORY_AND_DISK) // feeds N-count, df agg, and vector build
-    val n = accTok.select(col("account_id")).distinct().count()
+    // localCheckpoint (eager, MEMORY_AND_DISK) instead of persist(): the
+    // frame feeds three consumers (N agg, df agg, vector build) so it must
+    // materialize once — and checkpoint blocks are released by the
+    // ContextCleaner when the frame is GC'd, unlike catalog-cached plans,
+    // which a long-lived session (Bench memo, Tune, GoldEvalSpec) would
+    // accumulate forever.
+    val accTok = accountTokenCounts(repos, accounts).localCheckpoint(true)
+    // IDF corpus size N as a 1-row frame cross-joined into the idf model —
+    // no driver-side count() action; the whole model stays one lazy plan.
+    val nDf = accTok.agg(countDistinct(col("account_id")).as("n_acc"))
     val idf = accTok.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nDf))
       .withColumn("idf",
-        log(lit((n + 1).toDouble) / (col("df").cast("double") + lit(1.0))) + lit(1.0))
+        log((col("n_acc") + lit(1)).cast("double") / (col("df").cast("double") + lit(1.0))) + lit(1.0))
       .select(col("token"), col("idf"))
-    val oovIdf = math.log((n + 1).toDouble / 1.0) + 1.0
     val accVec = vectorize(accTok.join(broadcast(idf), Seq("token")), "account_id")
     val entTok = entities
       .select(col("id").as("entity_id"), explode(tokensUdf(col("abstractText"))).as("token"))
       .groupBy(col("entity_id"), col("token"))
       .agg(count(lit(1)).as("tf"))
       .join(broadcast(idf), Seq("token"), "left")
-      .withColumn("idf", coalesce(col("idf"), lit(oovIdf)))
+      .crossJoin(broadcast(nDf))
+      // out-of-vocabulary idf (df = 0): same formula at df=0
+      .withColumn("idf", coalesce(col("idf"),
+        log((col("n_acc") + lit(1)).cast("double") / lit(1.0)) + lit(1.0)))
+      .drop("n_acc")
     (accVec, vectorize(entTok, "entity_id"))
   }
 

@@ -124,7 +124,7 @@ object ScalarOracle {
       val acc = new Array[Double](CorpusGen.EmbDim)
       var wsum = 0.0
       nb.foreach { case (dst, w) =>
-        val v = CorpusGen.accountEmbeddingRow(dst - 100000L, scale).vec
+        val v = CorpusGen.accountEmbeddingRow(dst - CorpusGen.AccountIdBase, scale).vec
         var j = 0
         while (j < CorpusGen.EmbDim) { acc(j) = acc(j) + w * v(j); j += 1 }
       }

@@ -239,25 +239,33 @@ object Scorer {
       gold: DataFrame): DataFrame = {
     val g = gold.filter(col("accountId") >= 0)
       .select(col("entity").as("entity_id"), col("accountId").as("account_id"))
-    val inDict = g.join(rollupAll.select(col("entity_id"), col("account_id")),
-      Seq("entity_id", "account_id"), "left_semi")
-    val ranked = g.join(candidates.select(col("entity_id"), col("account_id"),
-      col("rank")), Seq("entity_id", "account_id"))
-    val hist = ranked.groupBy(col("rank"))
+    val rollupKeys = rollupAll.select(col("entity_id"), col("account_id"))
+    val candKeys = candidates.select(col("entity_id"), col("account_id"))
+    def scalarRow(df: DataFrame, stat: String): DataFrame =
+      df.agg(count(lit(1)).as("n"))
+        .select(lit(stat).as("stat"), lit(-1L).as("ord"), col("n"))
+    // every stat is a lazy aggregation — the whole diagnostic surface is ONE
+    // DataFrame and runs as a single job at the consumer's action (the old
+    // form collected 4 driver-side counts, and max() NPE'd on an empty
+    // candidates frame)
+    val nGold = scalarRow(g, "n_gold")
+    val indexLoss = scalarRow(
+      g.join(rollupKeys, Seq("entity_id", "account_id"), "left_anti"),
+      "index_loss")
+    val cutoffLoss = scalarRow(
+      g.join(rollupKeys, Seq("entity_id", "account_id"), "left_semi")
+        .join(candKeys, Seq("entity_id", "account_id"), "left_anti"),
+      "cutoff_loss")
+    val maxCand = candidates.groupBy(col("entity_id")).agg(count(lit(1)).as("c"))
+      .agg(coalesce(max(col("c")), lit(0L)).as("n"))
+      .select(lit("max_candidates").as("stat"), lit(-1L).as("ord"), col("n"))
+    val hist = g.join(candidates.select(col("entity_id"), col("account_id"),
+        col("rank")), Seq("entity_id", "account_id"))
+      .groupBy(col("rank"))
       .agg(count(lit(1)).as("n"))
       .select(lit("order_hist").as("stat"), col("rank").cast("long").as("ord"),
         col("n"))
-    val nGold = g.count()
-    val nInDict = inDict.count()
-    val nRanked = ranked.count()
-    val maxCand = candidates.groupBy(col("entity_id")).agg(count(lit(1)).as("c"))
-      .agg(max(col("c"))).collect()(0).getLong(0)
-    import candidates.sparkSession.implicits._
-    val scalars = Seq(
-      ("n_gold", -1L, nGold),
-      ("index_loss", -1L, nGold - nInDict),
-      ("cutoff_loss", -1L, nInDict - nRanked),
-      ("max_candidates", -1L, maxCand)).toDF("stat", "ord", "n")
-    scalars.unionByName(hist)
+    nGold.unionByName(indexLoss).unionByName(cutoffLoss).unionByName(maxCand)
+      .unionByName(hist)
   }
 }

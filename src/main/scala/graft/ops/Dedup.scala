@@ -182,10 +182,24 @@ object Dedup {
     */
   def withExactPrepass(docs: DataFrame, simCol: String, one: Column)(
       nearDups: DataFrame => DataFrame): DataFrame = {
-    val keyed = docs.withColumn("rep_id",
-      min(col("doc_id")).over(Window.partitionBy(sha2(col("text"), 256))))
-    val members = keyed.select(col("rep_id"), col("doc_id"))
-    val repDocs = keyed.filter(col("doc_id") === col("rep_id")).drop("rep_id")
+    // The rep mapping is computed from a (doc_id, sha) PROJECTION — the only
+    // rows that shuffle are ~40-byte (sha, id) pairs, never content (the
+    // previous window-over-full-rows form repartitioned the whole corpus by
+    // sha before any signature was computed). Content rows are then FILTERED
+    // in place by a broadcast semi-join on the rep ids: one long per distinct
+    // document. If the distinct count ever outgrows the broadcast budget,
+    // drop the hint and collapse on signature rows instead (sha-identical
+    // docs have identical signatures, so rep selection can run on the
+    // compact (id, sha, sig) frame without ever touching content).
+    val hashed = docs.select(col("doc_id"), sha2(col("text"), 256).as("sha"))
+    val members = hashed
+      .join(hashed.groupBy(col("sha")).agg(min(col("doc_id")).as("rep_id")),
+        Seq("sha"))
+      .select(col("rep_id"), col("doc_id"))
+      .localCheckpoint(true) // feeds the rep filter + both expansion joins
+    val repIds = members.filter(col("doc_id") === col("rep_id"))
+      .select(col("doc_id"))
+    val repDocs = docs.join(broadcast(repIds), Seq("doc_id"), "left_semi")
     val repPairs = nearDups(repDocs)
     val cross = repPairs
       .join(members.select(col("rep_id").as("doc_a"), col("doc_id").as("ma")), Seq("doc_a"))
