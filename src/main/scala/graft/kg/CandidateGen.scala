@@ -25,7 +25,13 @@ final case class KgConf(
     wFollowers: Double = 0.1,
     wFreq: Double = 0.8,
     wVerified: Double = 0.4,
-    bias: Double = -8.0)
+    bias: Double = -8.0,
+    // scale switch for the featurize pair join: broadcast the entity dim
+    // (default — fastest while the dim fits executor memory) vs bucketed
+    // tables on entity_id (Exchange-free co-located join; the 100-TB path,
+    // where the entity dim grows with the corpus and cannot broadcast)
+    bucketedFeaturize: Boolean = false,
+    featurizeBuckets: Int = 64)
 
 /** Stage 3: candidate generation — entity query names joined against the
   * dictionary, per-entity frequency rollup, top-K with deterministic

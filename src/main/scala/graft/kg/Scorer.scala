@@ -74,9 +74,40 @@ object Scorer {
     * verified_f) — the UDF-free feature stage, exposed separately from the
     * weighting so weights can be swept without recomputing features.
     */
+  /** Default candidates ⋈ entity-dim strategy: broadcast the entity side.
+    * Measured A/B at 2M files/local[16] — the plain shuffle-join
+    * alternative SORTS 5M+ candidate rows carrying the wide entity feature
+    * payload (117s vs 44s for the stage). At true cluster scale with a dim
+    * too big for broadcast, use [[bucketedEntJoin]] instead (both sides
+    * bucketed on entity_id — co-located join, no Exchange on either side).
+    */
+  val broadcastEntJoin: (DataFrame, DataFrame) => DataFrame =
+    (cands, ent) => cands.join(broadcast(ent), Seq("entity_id"))
+
+  /** The scale path for the pair join (conf.bucketedFeaturize): write both
+    * sides as tables bucketed + sorted on entity_id, read back, join —
+    * the scans report HashPartitioning(entity_id), so the join plans with
+    * ZERO Exchange (BucketingSpec asserts this and output equality with the
+    * broadcast path). At cluster scale the bucketed candidates/entity-dim
+    * tables would live once per pipeline run and feed every downstream
+    * consumer with co-located reads.
+    */
+  def bucketedEntJoin(spark: SparkSession, nBuckets: Int,
+      prefix: String = "graft_feat"): (DataFrame, DataFrame) => DataFrame =
+    (cands, ent) => {
+      val ct = s"${prefix}_candidates"
+      val et = s"${prefix}_entity_dim"
+      cands.write.mode("overwrite").format("parquet")
+        .bucketBy(nBuckets, "entity_id").sortBy("entity_id").saveAsTable(ct)
+      ent.write.mode("overwrite").format("parquet")
+        .bucketBy(nBuckets, "entity_id").sortBy("entity_id").saveAsTable(et)
+      spark.table(ct).join(spark.table(et), Seq("entity_id"))
+    }
+
   def featurize(candidates: DataFrame, entities: DataFrame, accounts: DataFrame,
       repos: DataFrame, accountEmbeddings: DataFrame,
-      entityEmbeddings: DataFrame): DataFrame = {
+      entityEmbeddings: DataFrame,
+      entJoin: (DataFrame, DataFrame) => DataFrame = broadcastEntJoin): DataFrame = {
     val (accVec, entVec) = Features.textVectors(repos, accounts, entities)
     val sgVec = Features.sgVectors(
       Features.socialEdges(repos, accounts), accountEmbeddings)
@@ -97,12 +128,7 @@ object Scorer {
         .withColumnRenamed("tnorm", "a_tnorm"), Seq("account_id"), "left")
       .join(sgVec, Seq("account_id"), "left")
 
-    // broadcast(ent): measured A/B at 2M files/local[16] — the shuffle-join
-    // alternative SORTS 5M+ candidate rows carrying the wide entity feature
-    // payload (117s vs 44s for the stage). At true cluster scale with a
-    // dim too big for broadcast, bucket both sides on entity_id instead.
-    val joined = candidates
-      .join(broadcast(ent), Seq("entity_id"))
+    val joined = entJoin(candidates, ent)
       .join(acc, Seq("account_id"))
 
     val descOverlap = coalesce(
@@ -130,8 +156,12 @@ object Scorer {
   def score(candidates: DataFrame, entities: DataFrame, accounts: DataFrame,
       repos: DataFrame, accountEmbeddings: DataFrame,
       entityEmbeddings: DataFrame, conf: KgConf = KgConf()): DataFrame = {
+    val entJoin =
+      if (conf.bucketedFeaturize)
+        bucketedEntJoin(candidates.sparkSession, conf.featurizeBuckets)
+      else broadcastEntJoin
     val feats = featurize(candidates, entities, accounts, repos,
-      accountEmbeddings, entityEmbeddings)
+      accountEmbeddings, entityEmbeddings, entJoin)
     val z =
       lit(conf.wName) * col("name_sim") +
       lit(conf.wText) * col("text_cos") +

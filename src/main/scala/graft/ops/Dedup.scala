@@ -175,6 +175,18 @@ object Dedup {
       .agg(count(lit(1)).as("bucket_sz"))
       .filter(col("bucket_sz") > bucketCap)
 
+  /** (rep_id, doc_id) exact-dup group mapping. Built from a (doc_id, sha)
+    * PROJECTION so the groupBy/join shuffles carry only id/sha columns —
+    * OpsSpec asserts no shuffle in this plan outputs the content column.
+    */
+  def repMembers(docs: DataFrame): DataFrame = {
+    val hashed = docs.select(col("doc_id"), sha2(col("text"), 256).as("sha"))
+    hashed
+      .join(hashed.groupBy(col("sha")).agg(min(col("doc_id")).as("rep_id")),
+        Seq("sha"))
+      .select(col("rep_id"), col("doc_id"))
+  }
+
   /** Run `nearDups` on exact-dup representatives only, then expand the pair
     * list back across sha-identical groups: in-group pairs get similarity
     * 1.0, cross-group pairs inherit the representatives' similarity.
@@ -191,11 +203,7 @@ object Dedup {
     // drop the hint and collapse on signature rows instead (sha-identical
     // docs have identical signatures, so rep selection can run on the
     // compact (id, sha, sig) frame without ever touching content).
-    val hashed = docs.select(col("doc_id"), sha2(col("text"), 256).as("sha"))
-    val members = hashed
-      .join(hashed.groupBy(col("sha")).agg(min(col("doc_id")).as("rep_id")),
-        Seq("sha"))
-      .select(col("rep_id"), col("doc_id"))
+    val members = repMembers(docs)
       .localCheckpoint(true) // feeds the rep filter + both expansion joins
     val repIds = members.filter(col("doc_id") === col("rep_id"))
       .select(col("doc_id"))

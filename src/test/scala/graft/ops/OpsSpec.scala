@@ -127,6 +127,37 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(crossNear.map(_._3).size == 1, "cross pairs must inherit one jaccard value")
   }
 
+  test("exact pre-pass plan shuffles only id/sha columns, never content") {
+    // the (rep_id, doc_id) mapping must be computable without repartitioning
+    // full document rows: at 100 TB a content shuffle before any signature
+    // is computed IS the cost of the pre-pass
+    val wasAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val d = docsDf((1L to 50L).map(i => i -> s"text body ${i % 9}"))
+      val members = Dedup.repMembers(d)
+      val shuffles = members.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(shuffles.nonEmpty, "expected the groupBy/join shuffles to exist")
+      shuffles.foreach { e =>
+        val cols = e.output.map(_.name).toSet
+        assert(!cols.contains("text"),
+          s"a pre-pass shuffle carries document content: $cols")
+      }
+      // and the representative FILTER of the full rows is broadcast-side:
+      // no shuffle in the whole near-dup prepass stage outputs `text`
+      val pairs = Dedup.minhashNearDups(d)
+      val allShuffles = pairs.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      allShuffles.foreach { e =>
+        assert(!e.output.map(_.name).contains("text"),
+          s"near-dup plan shuffles content: ${e.output.map(_.name)}")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", wasAqe)
+  }
+
   test("dupClusters: pairs collapse to min-id cluster representatives") {
     import spark.implicits._
     // chain 1-2, 2-3 (one cluster) and 7-9 (another)
