@@ -82,6 +82,17 @@ object KgQueries {
         CorpusGen.gold(s, scaleFor(dir)).toDF(), s)
       .orderBy(col("min_score"), col("margin"))
 
+  /** The exact (non-fuzzy) candidate path — expansion, rollup, back-off,
+    * top-K — as its own DuckDB-oracled surface; the fuzzy LSH tail stays
+    * gated by the scalar-oracle specs (KgPipelineSpec).
+    */
+  val candidatesExact: Q = (s, dir) =>
+    CandidateGen.candidates(s, CorpusGen.entities(s, scaleFor(dir)).toDF(),
+        result(s, dir).dictionary, KgConf(fuzzyEnabled = false))
+      .select(col("entity_id"), col("account_id"), col("freq"),
+        col("rank").cast("long").as("rank"))
+      .orderBy(col("entity_id"), col("account_id"))
+
   /** A13 candidate-distribution diagnostics (index loss / cutoff loss /
     * per-rank gold histogram).
     */
@@ -100,6 +111,7 @@ object KgQueries {
     "kg_mentions" -> mentions,
     "kg_dictionary" -> dictionary,
     "kg_candidates" -> candidates,
+    "kg_candidates_exact" -> candidatesExact,
     "kg_triples" -> triples,
     "kg_evaluation" -> evaluation,
     "kg_social_graph" -> socialGraph,
@@ -107,5 +119,10 @@ object KgQueries {
     "kg_candidate_stats" -> candidateStats,
   )
 
-  def oracles: Map[String, String] = Map.empty
+  /** DuckDB replays of the SQL-expressible stages over the parquet inputs
+    * Verify materializes (KgOracle) — the remaining stages (full scorer,
+    * triples, grid eval) stay gated by the exact-triple-set scalar-oracle
+    * specs.
+    */
+  def oracles: Map[String, String] = KgOracle.oracles
 }
