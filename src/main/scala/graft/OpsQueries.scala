@@ -34,6 +34,147 @@ object OpsQueries {
   val dedupNgram: Q = (s, dir) =>
     Dedup.ngramJaccard(docs(s, dir)).orderBy(col("doc_a"), col("doc_b"))
 
+  // ------------------------------------------- LSH replay SQL fragments
+  //
+  // The approximate paths are fully deterministic, so their oracles REPLAY
+  // the algorithm in DuckDB: FNV-1a + splitmix64 in HUGEINT mod-2⁶⁴
+  // arithmetic (INT128 cannot hold a 64×64-bit product, so the two big
+  // splitmix multiplies are decomposed into 32-bit limbs), band keys as
+  // lane-min lists, bucket caps as window counts, and the exact verify
+  // stage as list intersections / index-order float folds. Constants are
+  // shared with the Scala kernels (laneConst, planeVec, tablesFor) so the
+  // two sides cannot drift.
+
+  private val M64 = "18446744073709551616::HUGEINT"
+
+  /** x · c mod 2⁶⁴ with c ~2⁶⁴: 32-bit limb decomposition. */
+  private def mulModExpr(x: String, c: Long): String = {
+    val ch = c >>> 32
+    val cl = c & 0xFFFFFFFFL
+    s"(($x % 4294967296::HUGEINT) * $cl::HUGEINT + (((($x % 4294967296::HUGEINT) * $ch::HUGEINT + ($x // 4294967296::HUGEINT) * $cl::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT)) % $M64"
+  }
+
+  /** FNV-1a 64 over a string column (Dedup.fnv1a mirror). */
+  private def fnvExpr(c: String): String =
+    s"""list_reduce(list_prepend(14695981039346656037::HUGEINT,
+       |    list_transform(range(1, length($c) + 1), i -> ascii($c[i])::HUGEINT)),
+       |    (h, ch) -> (xor(h, ch) * 1099511628211::HUGEINT) % $M64)""".stripMargin
+
+  /** splitmix64 CTE chain: consumes column `in` of CTE `from`, ends with
+    * CTE `${p}5` carrying `${p}x3`; the mixed value is
+    * `xor(${p}x3, ${p}x3 >> 31)` (CorpusGen.mix mirror).
+    */
+  private def mixChainCtes(p: String, from: String, in: String): String =
+    s"""${p}1 AS (SELECT *, ($in + 11400714819323198485::HUGEINT) % $M64 AS ${p}x1 FROM $from),
+       |${p}2 AS (SELECT *, xor(${p}x1, ${p}x1 >> 30) AS ${p}y1 FROM ${p}1),
+       |${p}3 AS (SELECT *, ${mulModExpr(s"${p}y1", 0xbf58476d1ce4e5b9L)} AS ${p}x2 FROM ${p}2),
+       |${p}4 AS (SELECT *, xor(${p}x2, ${p}x2 >> 27) AS ${p}y2 FROM ${p}3),
+       |${p}5 AS (SELECT *, ${mulModExpr(s"${p}y2", 0x94d049bb133111ebL)} AS ${p}x3 FROM ${p}4)""".stripMargin
+
+  /** Exact-dup pre-pass mirror + rep corpus (Dedup.withExactPrepass). */
+  private val prepassCtes: String =
+    """members AS (
+      |  SELECT doc_id, min(doc_id) OVER (PARTITION BY sha256(text)) AS rep_id FROM documents),
+      |reps AS (
+      |  SELECT d.doc_id, d.text FROM documents d JOIN members m USING (doc_id) WHERE m.doc_id = m.rep_id)""".stripMargin
+
+  /** Full replay of simhashNearDups: FNV+mix token hashes, 64-bit vote
+    * fold, 4×16-bit band keys, bucket cap, bit_count verify, pre-pass
+    * expansion.
+    */
+  val dedupSimhashSql: String =
+    s"""WITH $prepassCtes,
+       |doctok AS (
+       |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS token
+       |  FROM reps),
+       |tokf AS (SELECT token, ${fnvExpr("token")} AS f
+       |  FROM (SELECT DISTINCT token FROM doctok)),
+       |${mixChainCtes("s", "tokf", "f")},
+       |th AS (SELECT token, xor(sx3, sx3 >> 31) AS h FROM s5),
+       |votes AS (
+       |  SELECT r.doc_id, bb.b,
+       |    sum(CASE WHEN ((t.h >> bb.b) % 2) = 1 THEN 1 ELSE -1 END) AS v
+       |  FROM reps r
+       |  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS b) bb
+       |  LEFT JOIN (SELECT dt.doc_id, th.h FROM doctok dt JOIN th USING (token)) t
+       |    ON t.doc_id = r.doc_id
+       |  GROUP BY r.doc_id, bb.b),
+       |sims AS (
+       |  SELECT doc_id,
+       |    sum(CASE WHEN v > 0 THEN (1::HUGEINT << b) ELSE 0::HUGEINT END) AS uh
+       |  FROM votes GROUP BY doc_id),
+       |sims2 AS (
+       |  SELECT doc_id, uh,
+       |    CAST(CASE WHEN uh >= 9223372036854775808::HUGEINT THEN uh - $M64 ELSE uh END AS BIGINT) AS sim
+       |  FROM sims),
+       |banded AS (
+       |  SELECT doc_id, sim, bb.b AS band_id, CAST((uh >> (16 * bb.b)) % 65536 AS BIGINT) AS band_hash
+       |  FROM sims2 CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b) bb),
+       |ok AS (
+       |  SELECT * FROM (SELECT *, count(*) OVER (PARTITION BY band_id, band_hash) AS bsz FROM banded)
+       |  WHERE bsz <= 4096),
+       |cand AS (
+       |  SELECT DISTINCT l.doc_id AS ra, r.doc_id AS rb, bit_count(xor(l.sim, r.sim)) AS hamming
+       |  FROM ok l JOIN ok r ON l.band_id = r.band_id AND l.band_hash = r.band_hash AND l.doc_id < r.doc_id),
+       |core AS (SELECT ra, rb, hamming FROM cand WHERE hamming <= 3),
+       |crossp AS (
+       |  SELECT least(ma.doc_id, mb.doc_id) AS doc_a, greatest(ma.doc_id, mb.doc_id) AS doc_b, c.hamming
+       |  FROM core c JOIN members ma ON ma.rep_id = c.ra JOIN members mb ON mb.rep_id = c.rb),
+       |intra AS (
+       |  SELECT l.doc_id AS doc_a, r.doc_id AS doc_b, 0 AS hamming
+       |  FROM members l JOIN members r ON l.rep_id = r.rep_id AND l.doc_id < r.doc_id)
+       |SELECT doc_a, doc_b, CAST(hamming AS INTEGER) AS hamming FROM (
+       |  SELECT * FROM crossp UNION ALL SELECT * FROM intra)
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Full replay of minhashNearDups: 16 lane-min hashes over 3-token
+    * shingles, 4 lane-min-list band keys, bucket cap, exact shingle-set
+    * Jaccard verify, pre-pass expansion.
+    */
+  val dedupMinhashLshSql: String = {
+    val laneVals = (0 until 16).map(l =>
+      s"($l, ${java.lang.Long.toUnsignedString(Dedup.laneConst(l))}::HUGEINT)").mkString(", ")
+    val grams =
+      """CASE WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')]
+        |      ELSE list_distinct(list_transform(generate_series(1, len(ts)-2), i -> array_to_string(ts[i:i+2], ' '))) END""".stripMargin
+    s"""WITH $prepassCtes,
+       |tk AS (
+       |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS ts FROM reps),
+       |gsets AS (SELECT doc_id, $grams AS g FROM tk),
+       |sh AS (SELECT doc_id, unnest(g) AS s FROM gsets),
+       |uf AS (SELECT s, ${fnvExpr("s")} AS f
+       |  FROM (SELECT DISTINCT s FROM sh)),
+       |lanes AS (SELECT * FROM (VALUES $laneVals) l(lane, lc)),
+       |l0 AS (SELECT s, lane, xor(f, lc) AS x0 FROM uf CROSS JOIN lanes),
+       |${mixChainCtes("m", "l0", "x0")},
+       |th AS (SELECT s, lane, xor(mx3, mx3 >> 31) AS h FROM m5),
+       |mins AS (
+       |  SELECT sh.doc_id, th.lane, min(th.h) AS mh
+       |  FROM sh JOIN th USING (s) GROUP BY sh.doc_id, th.lane),
+       |bands AS (
+       |  SELECT doc_id, lane // 4 AS band_id, list(mh ORDER BY lane) AS bk
+       |  FROM mins GROUP BY doc_id, lane // 4),
+       |ok AS (
+       |  SELECT * FROM (SELECT *, count(*) OVER (PARTITION BY band_id, bk) AS bsz FROM bands)
+       |  WHERE bsz <= 256),
+       |pairs AS (
+       |  SELECT DISTINCT l.doc_id AS ra, r.doc_id AS rb
+       |  FROM ok l JOIN ok r ON l.band_id = r.band_id AND l.bk = r.bk AND l.doc_id < r.doc_id),
+       |ver AS (
+       |  SELECT ra, rb, len(list_intersect(a.g, b.g))::DOUBLE /
+       |    (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) AS j
+       |  FROM pairs JOIN gsets a ON a.doc_id = ra JOIN gsets b ON b.doc_id = rb),
+       |core AS (SELECT ra, rb, round(j, 4) AS jaccard FROM ver WHERE j >= 0.7),
+       |crossp AS (
+       |  SELECT least(ma.doc_id, mb.doc_id) AS doc_a, greatest(ma.doc_id, mb.doc_id) AS doc_b, c.jaccard
+       |  FROM core c JOIN members ma ON ma.rep_id = c.ra JOIN members mb ON mb.rep_id = c.rb),
+       |intra AS (
+       |  SELECT l.doc_id AS doc_a, r.doc_id AS doc_b, 1.0::DOUBLE AS jaccard
+       |  FROM members l JOIN members r ON l.rep_id = r.rep_id AND l.doc_id < r.doc_id)
+       |SELECT doc_a, doc_b, jaccard FROM (SELECT * FROM crossp UNION ALL SELECT * FROM intra)
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   /** Oracle for the LSH path itself: the brute-force all-pairs ground
     * truth over the WHOLE table. Valid because the banded-minhash blocking
     * provably loses nothing at the verify sf (OpsSpec "ngram LSH equals
@@ -52,8 +193,60 @@ object OpsQueries {
       |  FROM g a JOIN g b ON a.doc_id < b.doc_id)
       |WHERE jaccard >= 0.8 ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Frozen LSH geometry (planesFor(500)=4 at the sf0.01 verify scale,
+    * tables from the 0.95-recall sizing formula) so the query needs no
+    * corpus-count pass and the oracle replay bakes the same constants.
+    */
+  val EmbPlanes = 4
+  val EmbTables: Int = Dedup.tablesFor(EmbPlanes, threshold = 0.35, recall = 0.95)
+
   val dedupEmbedding: Q = (s, dir) =>
-    Dedup.embeddingNearDups(embs(s, dir)).orderBy(col("vec_a"), col("vec_b"))
+    Dedup.embeddingNearDups(embs(s, dir), planesOverride = EmbPlanes,
+        tablesOverride = EmbTables)
+      .orderBy(col("vec_a"), col("vec_b"))
+
+  /** Full replay of embeddingNearDups: the deterministic hyperplane matrix
+    * as literals (Dedup.planeVec — Double.toString round-trips exactly),
+    * sign-bit bucket keys from index-order left-fold dot products (bit-
+    * identical IEEE addition order vs the compiled kernel), bucket cap,
+    * exact cosine verify.
+    */
+  val dedupEmbeddingSql: String = {
+    def dotFold(a: String, b: String): String =
+      s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 65), j -> $a[j] * $b[j])), (acc, x) -> acc + x)"
+    val planeVals = (0 until EmbTables).flatMap { t =>
+      (0 until EmbPlanes).map { pl =>
+        val vec = Dedup.planeVec(t * EmbPlanes + pl, 64).mkString(", ")
+        s"($t, $pl, [$vec]::DOUBLE[])"
+      }
+    }.mkString(",\n")
+    s"""WITH planes AS (SELECT * FROM (VALUES $planeVals) p(t, pl, pv)),
+       |corpus AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |dots AS (
+       |  SELECT c.vec_id, p.t, p.pl, ${dotFold("c.v", "p.pv")} AS dot
+       |  FROM corpus c CROSS JOIN planes p),
+       |bits AS (
+       |  SELECT vec_id, t, sum(CASE WHEN dot >= 0 THEN (1::BIGINT << pl) ELSE 0 END) AS bits
+       |  FROM dots GROUP BY vec_id, t),
+       |ok AS (
+       |  SELECT * FROM (SELECT *, count(*) OVER (PARTITION BY t, bits) AS bsz FROM bits)
+       |  WHERE bsz <= 1024),
+       |pairs AS (
+       |  SELECT DISTINCT l.vec_id AS va, r.vec_id AS vb
+       |  FROM ok l JOIN ok r ON l.t = r.t AND l.bits = r.bits AND l.vec_id < r.vec_id),
+       |ver AS (
+       |  SELECT va, vb,
+       |    ${dotFold("a.v", "b.v")} AS dt,
+       |    ${dotFold("a.v", "a.v")} AS na,
+       |    ${dotFold("b.v", "b.v")} AS nb
+       |  FROM pairs JOIN corpus a ON a.vec_id = va JOIN corpus b ON b.vec_id = vb),
+       |cosv AS (
+       |  SELECT va AS vec_a, vb AS vec_b,
+       |    CASE WHEN na = 0 OR nb = 0 THEN 0.0 ELSE dt / (sqrt(na) * sqrt(nb)) END AS cos
+       |  FROM ver)
+       |SELECT vec_a, vec_b, CAST(round(cos, 4) AS DOUBLE) AS cos FROM cosv
+       |WHERE cos >= 0.35 ORDER BY vec_a, vec_b""".stripMargin
+  }
 
   /** Brute-force ground truth for the LSH exact-verify stages (bounded to
     * the first 1000 doc_ids so the pair count stays O(10⁵) at bench sf) —
@@ -470,6 +663,9 @@ object OpsQueries {
 
   def oracles: Map[String, String] = Map(
     "dedup_exact" -> dedupExactSql,
+    "dedup_simhash" -> dedupSimhashSql,
+    "dedup_minhash_lsh" -> dedupMinhashLshSql,
+    "dedup_embedding_cosine" -> dedupEmbeddingSql,
     "dedup_minhash_brute" -> dedupMinhashBruteSql,
     "dedup_ngram_brute" -> dedupNgramBruteSql,
     "dedup_clusters" -> dedupClustersSql,

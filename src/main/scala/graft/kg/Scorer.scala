@@ -92,11 +92,25 @@ object Scorer {
     * tables would live once per pipeline run and feed every downstream
     * consumer with co-located reads.
     */
+  /** Drop a managed table AND its warehouse dir — a fresh session's
+    * in-memory catalog doesn't know about a previous JVM's table location,
+    * and saveAsTable refuses a non-empty leftover dir.
+    */
+  private def resetTable(spark: SparkSession, name: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS `$name`")
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val path = new org.apache.hadoop.fs.Path(wh, name.toLowerCase)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(path)) fs.delete(path, true)
+  }
+
   def bucketedEntJoin(spark: SparkSession, nBuckets: Int,
       prefix: String = "graft_feat"): (DataFrame, DataFrame) => DataFrame =
     (cands, ent) => {
       val ct = s"${prefix}_candidates"
       val et = s"${prefix}_entity_dim"
+      resetTable(spark, ct)
+      resetTable(spark, et)
       cands.write.mode("overwrite").format("parquet")
         .bucketBy(nBuckets, "entity_id").sortBy("entity_id").saveAsTable(ct)
       ent.write.mode("overwrite").format("parquet")

@@ -59,14 +59,6 @@ object Dedup {
   def xxLane(lane: Int, s: String): Long =
     XXH64.hashUTF8String(UTF8String.fromString(s), XXH64.hashInt(lane, XxSeed))
 
-  /** Bit-exact scalar mirror of `xxhash64(array<long>)` (fold hashLong). */
-  def xxLongArray(a: Array[Long], from: Int, until: Int): Long = {
-    var acc = XxSeed
-    var i = from
-    while (i < until) { acc = XXH64.hashLong(a(i), acc); i += 1 }
-    acc
-  }
-
   /** Mirror of the Column form `filter(split(lower(text), "[^a-z0-9]+"),
     * _ =!= "")`.
     */
@@ -83,25 +75,50 @@ object Dedup {
     else Array.tabulate(tokens.length - k + 1)(i =>
       tokens.slice(i, i + k).mkString(" "))
 
-  /** MinHash band hashes of a shingle multiset: `lanes` min-hashes split
-    * into `bands` groups, each group folded with xxhash64 — one compiled
-    * pass over the shingles (lane mins tracked simultaneously).
+  /** FNV-1a 64 over the string's chars (ASCII token/shingle strings here;
+    * same scheme as kg.Blocking's name hashing).
     */
-  def minhashBandHashes(shingles: Array[String], lanes: Int, bands: Int): Array[Long] = {
-    val mins = Array.fill(lanes)(Long.MaxValue)
+  def fnv1a(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < s.length) { h ^= s.charAt(i).toLong; h *= 0x100000001b3L; i += 1 }
+    h
+  }
+
+  /** Per-lane constant of the minhash family (GOLDEN · (lane+1) mod 2⁶⁴). */
+  def laneConst(lane: Int): Long = 0x9e3779b97f4a7c15L * (lane + 1)
+
+  /** Minhash lane hash: splitmix64(fnv1a(s) ^ laneConst). Chosen over
+    * xxhash64 because the whole family REPLAYS in the DuckDB oracle with
+    * HUGEINT mod-2⁶⁴ arithmetic (XXH64's stripe processing is impractical
+    * in SQL), and banding only needs a uniform pairwise-independent-ish
+    * family — same scheme kg.Blocking already uses for name blocking.
+    */
+  def laneHash(lane: Int, s: String): Long =
+    graft.kg.CorpusGen.mix(fnv1a(s) ^ laneConst(lane))
+
+  /** MinHash band keys of a shingle multiset: `lanes` min-hashes (UNSIGNED
+    * min — the SQL replay mins in the non-negative HUGEINT domain) split
+    * into `bands` groups; the band key is the lane-min ARRAY itself (no
+    * fold — arrays group/join fine on both engines and keep the replay
+    * trivial). One compiled pass over the shingles, all lane mins tracked
+    * simultaneously.
+    */
+  def minhashBandMins(shingles: Array[String], lanes: Int, bands: Int): Array[Array[Long]] = {
+    val mins = Array.fill(lanes)(-1L) // unsigned max
     var si = 0
     while (si < shingles.length) {
-      val utf8 = UTF8String.fromString(shingles(si))
+      val f = fnv1a(shingles(si))
       var l = 0
       while (l < lanes) {
-        val h = XXH64.hashUTF8String(utf8, XXH64.hashInt(l, XxSeed))
-        if (h < mins(l)) mins(l) = h
+        val h = graft.kg.CorpusGen.mix(f ^ laneConst(l))
+        if (java.lang.Long.compareUnsigned(h, mins(l)) < 0) mins(l) = h
         l += 1
       }
       si += 1
     }
     val rows = lanes / bands
-    Array.tabulate(bands)(b => xxLongArray(mins, b * rows, (b + 1) * rows))
+    Array.tabulate(bands)(b => mins.slice(b * rows, (b + 1) * rows))
   }
 
   /** Jaccard over SORTED distinct long arrays (merge intersection — the
@@ -236,15 +253,15 @@ object Dedup {
       .otherwise(transform(sequence(lit(0), size(tokens) - k),
         i => concat_ws(" ", slice(tokens, i + 1, lit(k)))))
 
-  /** signatures(doc_id, band_id, band_hash): H minhash lanes split into
-    * `bands` bands of H/bands rows each (standard MinHash+LSH banding).
-    * One compiled kernel pass per doc; hash values identical to the
-    * xxhash64-expression formulation.
+  /** signatures(doc_id, band_id, band_hash: array<long>): H minhash lanes
+    * split into `bands` bands of H/bands lane-mins each (standard
+    * MinHash+LSH banding; the band key is the lane-min array). One
+    * compiled kernel pass per doc.
     */
   def minhashBands(docs: DataFrame, shingleK: Int = 3, lanes: Int = 16,
       bands: Int = 4): DataFrame = {
     val bandsUdf = udf((text: String) =>
-      minhashBandHashes(tokenShingles(tokensOf(text), shingleK), lanes, bands))
+      minhashBandMins(tokenShingles(tokensOf(text), shingleK), lanes, bands))
     docs.select(col("doc_id"), posexplode(bandsUdf(col("text"))).as(Seq("band_id", "band_hash")))
   }
 
@@ -409,7 +426,7 @@ object Dedup {
   def ngramBands(docs: DataFrame, n: Int = 4, lanes: Int = 16,
       bands: Int = 4): DataFrame = {
     val bandsUdf = udf((text: String) =>
-      minhashBandHashes(charGrams(text, n), lanes, bands))
+      minhashBandMins(charGrams(text, n), lanes, bands))
     docs.select(col("doc_id"), posexplode(bandsUdf(col("text"))).as(Seq("band_id", "band_hash")))
   }
 
@@ -559,11 +576,17 @@ object Dedup {
     */
   def embeddingNearDups(embs: DataFrame, nVec: Long = -1L, dim: Int = 64,
       threshold: Double = 0.35, recall: Double = 0.95,
-      bucketCap: Int = 1024): DataFrame = {
-    val n = if (nVec >= 0) nVec else embs.count()
-    val planes = planesFor(n)
-    val tables = tablesFor(planes, threshold, recall)
-    val keyed = embeddingBands(embs, n, dim, tables)
+      bucketCap: Int = 1024, planesOverride: Int = -1,
+      tablesOverride: Int = -1): DataFrame = {
+    // explicit planes/tables skip the corpus-count pass entirely (callers
+    // at scale should pass them, or at least nVec)
+    val planes =
+      if (planesOverride > 0) planesOverride
+      else planesFor(if (nVec >= 0) nVec else embs.count())
+    val tables =
+      if (tablesOverride > 0) tablesOverride
+      else tablesFor(planes, threshold, recall)
+    val keyed = embeddingBands(embs, -1L, dim, tables, planes)
       .withColumnRenamed("table_id", "band_id")
       .withColumnRenamed("bits", "band_hash")
       .withColumnRenamed("vec_id", "doc_id")

@@ -55,29 +55,40 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(pairs == Set((1L, 2L)))
   }
 
-  test("compiled minhash kernel is bit-exact vs the xxhash64 expression form") {
-    // the scalar XXH64 mirror must reproduce the Column formulation exactly,
-    // or the banding (and thus the candidate sets) silently changes
+  test("compiled minhash kernel is bit-exact vs an independent BigInt replay") {
+    // the kernel's Long-wraparound FNV-1a + splitmix64 + unsigned-min must
+    // reproduce an arbitrary-precision mod-2⁶⁴ formulation (the same one the
+    // DuckDB oracle replays in HUGEINT), or the banding silently changes
+    val M = BigInt(1) << 64
+    def fnvB(s: String): BigInt =
+      s.foldLeft(BigInt("cbf29ce484222325", 16)) { (h, c) =>
+        (h ^ BigInt(c.toInt)) * BigInt("100000001b3", 16) % M
+      }
+    def mixB(x0: BigInt): BigInt = {
+      var x = (x0 + BigInt("9e3779b97f4a7c15", 16)) % M
+      x = (x ^ (x >> 30)) * BigInt("bf58476d1ce4e5b9", 16) % M
+      x = (x ^ (x >> 27)) * BigInt("94d049bb133111eb", 16) % M
+      x ^ (x >> 31)
+    }
+    def toSigned(b: BigInt): Long = (if (b >= (BigInt(1) << 63)) b - M else b).toLong
     val texts = Seq(
       1L -> "the quick brown fox jumps over the lazy dog",
       2L -> "short",
       3L -> "a b c d e f g h i j k l m n o p q r s t u v w x y z",
       4L -> "Mixed CASE and 123 numbers\t with\nwhitespace   runs")
-    val d = docsDf(texts)
     val lanes = 16; val bands = 4; val rows = lanes / bands
-    val sh = Dedup.shinglesCol(Dedup.tokensCol(col("text")), 3)
-    val legacy = d.select(col("doc_id"), sh.as("shingles"))
-      .withColumn("sig", array((0 until lanes).map(i =>
-        array_min(transform(col("shingles"), s => xxhash64(lit(i), s)))): _*))
-      .select(col("doc_id"), explode(array((0 until bands).map { b =>
-        struct(lit(b).as("band_id"),
-          xxhash64(slice(col("sig"), b * rows + 1, rows)).as("band_hash"))
-      }: _*)).as("b"))
-      .select(col("doc_id"), col("b.band_id"), col("b.band_hash"))
-      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
-    val kernel = Dedup.minhashBands(d, 3, lanes, bands)
-      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
-    assert(kernel == legacy)
+    val expected = texts.flatMap { case (id, text) =>
+      val shingles = Dedup.tokenShingles(Dedup.tokensOf(text), 3)
+      val mins = Array.tabulate(lanes) { l =>
+        val lc = (BigInt(l + 1) * BigInt("9e3779b97f4a7c15", 16)) % M
+        shingles.map(s => mixB(fnvB(s) ^ lc)).min // BigInt min == unsigned min
+      }
+      (0 until bands).map(b =>
+        (id, b, mins.slice(b * rows, (b + 1) * rows).map(toSigned).toSeq))
+    }.toSet
+    val kernel = Dedup.minhashBands(docsDf(texts), 3, lanes, bands)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getSeq[Long](2))).toSet
+    assert(kernel == expected)
   }
 
   test("minhash LSH recall vs brute force on real sf0.01 docs") {
