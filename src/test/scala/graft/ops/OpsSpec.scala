@@ -244,16 +244,56 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(row.getAs[Double]("digit_ratio") > 0.0)
   }
 
-  test("multimodal: batched fake decode produces per-kind stats") {
+  test("multimodal: batched real decode produces per-kind stats") {
     val d = graft.Tables.documents(spark, "/root/testdata/sf0.001")
     val r = Multimodal.featureStats(spark, d).collect()
     assert(r.map(_.getString(0)).toSet == Set("image", "audio", "video"))
     assert(r.map(_.getAs[Long]("n")).sum == d.count())
+    // features come from decoded payloads — means must be non-degenerate
+    r.foreach(row => assert(row.getAs[Double]("avg_f0") > 0.0))
   }
 
-  test("multimodal: fake decode is deterministic") {
-    val (s1, f1) = Multimodal.fakeDecodeFeatures("hello world".getBytes, 100, 10)
-    val (s2, f2) = Multimodal.fakeDecodeFeatures("hello world".getBytes, 100, 10)
-    assert(s1 == s2 && f1.toSeq == f2.toSeq && s1 == 10)
+  test("multimodal: planted solid-color PNG decodes to exact features") {
+    // a 4x4 all-(255,0,0) image: meanR=1, meanG=meanB=0, each quadrant
+    // luminance = 85/255, aspect = 1
+    val img = new java.awt.image.BufferedImage(4, 4,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 4; x <- 0 until 4) img.setRGB(x, y, 0xFF0000)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    val f = Multimodal.decodeImage(baos.toByteArray)
+    assert(f(0) == 1.0f && f(1) == 0.0f && f(2) == 0.0f)
+    (3 to 6).foreach(i => assert(f(i) == 85f / 255f))
+    assert(f(7) == 1.0f)
+  }
+
+  test("multimodal: planted constant-amplitude WAV decodes to exact RMS") {
+    val wav = Multimodal.wavOf(Array.fill[Short](800)(16384), 16000)
+    val f = Multimodal.decodeAudio(wav)
+    // RMS of a constant signal == the amplitude; normalized 16384/32768
+    f.foreach(x => assert(math.abs(x - 0.5f) < 1e-6f, s"rms $x"))
+  }
+
+  test("multimodal: video container samples every k-th frame only") {
+    val payload = Multimodal.videoBytes(7L, nFrames = 6, w = 8, h = 8)
+    val (sampled2, feats2) = Multimodal.decodeVideo(payload, sampleEvery = 2)
+    assert(sampled2 == 3) // frames 0, 2, 4
+    val (sampledAll, _) = Multimodal.decodeVideo(payload, sampleEvery = 1)
+    assert(sampledAll == 6)
+    // frame 0 alone == sampleEvery larger than the container
+    val (s1, f1) = Multimodal.decodeVideo(payload, sampleEvery = 100)
+    assert(s1 == 1)
+    val frame0 = Multimodal.pngBytes(7L * 31L, 8, 8)
+    assert(f1.toSeq == Multimodal.decodeImage(frame0).toSeq)
+    assert(feats2.length == 8)
+  }
+
+  test("multimodal: synthesis and decode are deterministic end-to-end") {
+    val d = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .filter(col("doc_id") < 30)
+    def run() = Multimodal.extractFeatures(spark, Multimodal.synthesize(d))
+      .collect().map(m => (m.media_id, m.kind, m.n_bytes, m.frames_sampled,
+        m.features.toSeq)).sortBy(_._1).toSeq
+    assert(run() == run())
   }
 }
