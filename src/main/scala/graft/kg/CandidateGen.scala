@@ -25,6 +25,10 @@ final case class KgConf(
     wFollowers: Double = 0.1,
     wFreq: Double = 0.8,
     wVerified: Double = 0.4,
+    // F12 homepage-alignment binaries (HomepageAlignmentsScorer.java:79-113)
+    wHomeMatch: Double = 2.0,
+    wHomeExists: Double = -0.5,
+    wHomeUnique: Double = 1.0,
     bias: Double = -8.0,
     // scale switch for the featurize pair join: broadcast the entity dim
     // (default — fastest while the dim fits executor memory) vs bucketed

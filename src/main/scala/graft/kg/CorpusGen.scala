@@ -178,9 +178,19 @@ object CorpusGen {
     s"${entityName(i)} is a ${kindOf(i)} known for ${words.mkString(" ")}"
   }
 
+  /** Homepage of entity i ("" = none, ~60% coverage). True accounts carry
+    * the same url (accountUrl), which is what feeds the F12 lookup binaries
+    * (HomepageAlignmentsScorer.java:28-35: the homepage→account alignment
+    * table the reference fetches from its DB).
+    */
+  def entityHomepage(i: Long): String =
+    if (pick(50L, i, 100) < 60)
+      "https://" + entityName(i).toLowerCase.replace(' ', '-') + "-" + i + ".example.org"
+    else ""
+
   def entityRow(i: Long): Entity =
     Entity(entityId(i), entityNames(i), entityLabels(i), kindOf(i), isDead(i),
-      entityAbstract(i))
+      entityAbstract(i), entityHomepage(i))
 
   // ---------------------------------------------------------------- accounts
 
@@ -242,6 +252,22 @@ object CorpusGen {
     s"working on ${words.mkString(" ")}"
   }
 
+  /** Profile url of account idx: 70% of true accounts carry their entity's
+    * homepage (the planted F12 signal), 15% of decoys carry the SAME
+    * homepage (non-unique / wrong-match noise), noise accounts occasionally
+    * have an unrelated url.
+    */
+  def accountUrl(idx: Long, scale: Scale): String = {
+    val e = scale.nEntities
+    accountKindOf(idx, scale) match {
+      case "true" => if (pick(51L, idx, 100) < 70) entityHomepage(idx) else ""
+      case "decoy" =>
+        if (pick(52L, idx, 100) < 15) entityHomepage(idx - e) else ""
+      case _ =>
+        if (pick(53L, idx, 100) < 10) s"https://noise-$idx.example.net" else ""
+    }
+  }
+
   def accountRow(idx: Long, scale: Scale): Account = {
     val base = unit(22L, idx)
     // long-tailed popularity; celebrity account idx==0 is boosted (skew case)
@@ -257,7 +283,8 @@ object CorpusGen {
       math.max(1, (followers * unit(23L, idx)).toInt),
       (followers * 0.01 * unit(24L, idx)).toInt,
       1 + (3000 * unit(25L, idx)).toInt,
-      isTrue && unit(26L, idx) < 0.3)
+      isTrue && unit(26L, idx) < 0.3,
+      accountUrl(idx, scale))
   }
 
   def nAccounts(scale: Scale): Long = 2L * scale.nEntities + scale.nNoiseAccounts

@@ -30,11 +30,14 @@ object ScalarOracle {
     val nAcc = CorpusGen.nAccounts(scale)
     val screenToId = mutable.HashMap.empty[String, Long]
     val accById = mutable.HashMap.empty[Long, Account]
+    // F12 homepage lookup: url → #accounts carrying it (Scorer.hpCounts)
+    val urlCount = mutable.HashMap.empty[String, Long]
     var ai = 0L
     while (ai < nAcc) {
       val a = CorpusGen.accountRow(ai, scale)
       screenToId(a.screenName) = a.accountId
       accById(a.accountId) = a
+      if (a.url.nonEmpty) urlCount(a.url) = urlCount.getOrElse(a.url, 0L) + 1L
       ai += 1
     }
 
@@ -218,6 +221,8 @@ object ScalarOracle {
         // ---------------- scoring (mirrors Scorer.score Column arithmetic)
         val (eEntries, eNorm) = entityVector(ent.abstractText)
         val absTokSet = Text.tokens(ent.abstractText).distinct.toSet
+        val homepage = ent.homepage
+        val hpCount = if (homepage.isEmpty) 0L else urlCount.getOrElse(homepage, 0L)
         val scored = topK.map { case (acc, freq) =>
           val a = accById(acc)
           val nameSim = Text.nameSimilarity(ent.names, a.name)
@@ -227,6 +232,11 @@ object ScalarOracle {
             if (dTok.isEmpty) 0.0
             else dTok.count(absTokSet.contains).toDouble / dTok.length.toDouble
           val sCos = sgCos(ei, acc)
+          // F12 binaries, same term order as Scorer's Column sum
+          val homeMatch = if (homepage.nonEmpty && a.url == homepage) 1.0 else 0.0
+          val homeExists = if (homepage.nonEmpty && hpCount >= 1) 1.0 else 0.0
+          val homeUnique =
+            if (homepage.nonEmpty && a.url == homepage && hpCount == 1) 1.0 else 0.0
           val z = conf.wName * nameSim +
             conf.wText * tCos +
             conf.wDesc * dOverlap +
@@ -234,6 +244,9 @@ object ScalarOracle {
             conf.wFollowers * (math.log(a.followers.toDouble + 1.0) / math.log(10.0)) +
             conf.wFreq * (math.log(freq.toDouble + 1.0) / math.log(10.0)) +
             conf.wVerified * (if (a.verified) 1.0 else 0.0) +
+            conf.wHomeMatch * homeMatch +
+            conf.wHomeExists * homeExists +
+            conf.wHomeUnique * homeUnique +
             conf.bias
           val score = 1.0 / (1.0 + math.exp(-z))
           (acc, a.screenName, freq, score)

@@ -29,7 +29,8 @@ final case class Entity(
     labels: Seq[String],
     kind: String,
     dead: Boolean,
-    abstractText: String)
+    abstractText: String,
+    homepage: String) // "" = none; F12 lookup binaries (HomepageAlignmentsScorer.java:28-35)
 
 /** Alignment-target account — analogue of the twitter4j User fixture
   * (/root/reference/alignments/src/test/resources/user.json).
@@ -43,7 +44,8 @@ final case class Account(
     friends: Int,
     listed: Int,
     statuses: Int,
-    verified: Boolean)
+    verified: Boolean,
+    url: String) // profile homepage, "" = none (twitter4j User.getURL analogue)
 
 /** Gold standard row — analogue of gold.csv
   * (/root/reference/alignments/.../evaluation/Dataset.java:61-78).

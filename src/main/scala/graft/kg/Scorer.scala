@@ -126,9 +126,19 @@ object Scorer {
     val sgVec = Features.sgVectors(
       Features.socialEdges(repos, accounts), accountEmbeddings)
 
+    // F12 homepage alignment lookup (HomepageAlignmentsScorer.java:28-35):
+    // url → number of accounts carrying it. Tiny dim (distinct urls) —
+    // broadcast onto the entity side so the pair stage sees plain columns.
+    val hpCounts = accounts.filter(col("url") =!= "")
+      .groupBy(col("url")).agg(count(lit(1)).as("hp_count"))
+      .withColumnRenamed("url", "homepage")
+
     val ent = entities.select(col("id").as("entity_id"),
         namesNormUdf(col("names")).as("names_norm"),
-        distinctTokensUdf(col("abstractText")).as("abs_tok"))
+        distinctTokensUdf(col("abstractText")).as("abs_tok"),
+        col("homepage"))
+      .join(broadcast(hpCounts), Seq("homepage"), "left")
+      .withColumn("hp_count", coalesce(col("hp_count"), lit(0L)))
       .join(entVec.withColumnRenamed("tvec", "e_tvec")
         .withColumnRenamed("tnorm", "e_tnorm"), Seq("entity_id"), "left")
       .join(entityEmbeddings.select(col("entityId").as("entity_id"),
@@ -137,7 +147,7 @@ object Scorer {
         col("screenName").as("screen_name"),
         normNameUdf(col("name")).as("account_name_norm"),
         distinctTokensUdf(col("description")).as("desc_tok"),
-        col("followers"), col("verified"))
+        col("followers"), col("verified"), col("url"))
       .join(accVec.withColumnRenamed("tvec", "a_tvec")
         .withColumnRenamed("tnorm", "a_tnorm"), Seq("account_id"), "left")
       .join(sgVec, Seq("account_id"), "left")
@@ -161,7 +171,16 @@ object Scorer {
         lit(0.0)).as("sg_cos"),
       log(10.0, col("followers").cast("double") + lit(1.0)).as("log_followers"),
       log(10.0, col("freq").cast("double") + lit(1.0)).as("log_freq"),
-      col("verified").cast("double").as("verified_f"))
+      col("verified").cast("double").as("verified_f"),
+      // F12 lookup binaries (HomepageAlignmentsScorer.java:79-113):
+      // the pair's urls match / the entity homepage is known to the lookup
+      // / the match is unique across accounts
+      when(col("homepage") =!= "" && col("url") === col("homepage"), 1.0)
+        .otherwise(0.0).as("home_match"),
+      when(col("homepage") =!= "" && col("hp_count") >= 1, 1.0)
+        .otherwise(0.0).as("home_exists"),
+      when(col("homepage") =!= "" && col("url") === col("homepage") &&
+        col("hp_count") === 1, 1.0).otherwise(0.0).as("home_unique"))
   }
 
   /** alignments(entity_id, account_id, screen_name, freq, score, rank,
@@ -184,6 +203,9 @@ object Scorer {
       lit(conf.wFollowers) * col("log_followers") +
       lit(conf.wFreq) * col("log_freq") +
       lit(conf.wVerified) * col("verified_f") +
+      lit(conf.wHomeMatch) * col("home_match") +
+      lit(conf.wHomeExists) * col("home_exists") +
+      lit(conf.wHomeUnique) * col("home_unique") +
       lit(conf.bias)
     val scored = feats.withColumn("score", lit(1.0) / (lit(1.0) + exp(-z)))
 

@@ -69,7 +69,7 @@ class BlockingSpec extends AnyFunSuite with SparkTestBase {
     import spark.implicits._
     val dict = Seq(("ada lxvelace", 100L, 5L)).toDF("name", "account_id", "freq")
     val entities = Seq(Entity("kb:e1", Seq("Ada Lovelace"), Seq("Ada Lovelace"),
-      "per", dead = false, "x")).toDF()
+      "per", dead = false, "x", "")).toDF()
     val cands = CandidateGen.candidates(spark, entities, dict)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
     assert(cands == Set(("kb:e1", 100L, 5L)))
