@@ -39,4 +39,44 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
     assert(streamed.subsetOf(batch))
     assert(streamed.nonEmpty || batch.size <= 1)
   }
+
+  test("append mode watermark: windows emit on close, too-late events drop, " +
+      "in-watermark late events count") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[EventStream.Event]
+    val q = EventStream.windowedCounts(ms.toDF()).writeStream
+      .outputMode(OutputMode.Append()).format("memory").queryName("late_t").start()
+    def ev(id: Long, day: Int, hour: Int) = EventStream.Event(id,
+      java.sql.Timestamp.valueOf(f"2024-01-0$day%d $hour%02d:00:00"), 1L, "click", 1.0)
+    try {
+      // batch 1: two day-1 events + a day-3 event; after this batch the
+      // watermark is day3 09:00 (max ts − 1h) — past the day-1 window end
+      ms.addData(ev(1, 1, 5), ev(2, 1, 6), ev(3, 3, 10))
+      q.processAllAvailable()
+      // batch 2: ev 4 is TOO LATE (its day-1 window closed under the
+      // watermark → dropped); ev 5 has ts below the watermark but its day-3
+      // window is still open → it must COUNT (late-row filtering is by
+      // window end, not raw ts); ev 6 keeps day 3 active
+      ms.addData(ev(4, 1, 7), ev(5, 3, 8), ev(6, 3, 11))
+      q.processAllAvailable()
+      // batches 3+4: push the watermark past the day-3 window end so it
+      // finalizes and appends
+      ms.addData(ev(7, 5, 1))
+      q.processAllAvailable()
+      ms.addData(ev(8, 5, 2))
+      q.processAllAvailable()
+      val rows = spark.table("late_t")
+        .collect()
+        .map(r => (r.getAs[java.sql.Timestamp]("w_start").toString.take(10),
+          r.getAs[Long]("n"), r.getAs[Double]("total")))
+        .sorted.toSeq
+      // day-1 window: events 1,2 only (4 dropped); day-3 window: 3,5,6
+      // (5 counted despite arriving under the watermark); day-5 window
+      // still open → withheld by append mode
+      assert(rows == Seq(("2024-01-01", 2L, 2.0), ("2024-01-03", 3L, 3.0)),
+        s"got $rows")
+    } finally q.stop()
+  }
 }
