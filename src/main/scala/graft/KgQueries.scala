@@ -5,10 +5,12 @@ import org.apache.spark.sql.functions._
 import graft.kg._
 
 /** Query registry for the KG-construction pipeline stages. These run on the
-  * deterministically synthesized corpus (BASELINE.json input_hint shape) —
-  * DuckDB has no access to that input, so they are rows-only checks; the
-  * real correctness gate is KgPipelineSpec's exact-triple-set comparison
-  * against the scalar oracle (ScalarOracle.scala).
+  * deterministically synthesized corpus (BASELINE.json input_hint shape);
+  * Verify materializes the synthesized inputs (and the frozen scored-pair
+  * frame) to parquet so KgOracle's DuckDB SQL can replay each stage
+  * cross-engine, and KgPipelineSpec additionally gates the whole pipeline
+  * by exact-triple-set comparison against the scalar oracle
+  * (ScalarOracle.scala).
   *
   * The synthesis scale follows the driver's sf dir so bench reflects a
   * bigger corpus than verify. One Pipeline.compute Result is MEMOIZED per
@@ -49,21 +51,38 @@ object KgQueries {
       Pipeline.computeForScale(s, scaleFor(dir)))
   }
 
+  /** Corpus + the north-rule per-row invariant: sha2(content) computed by
+    * Spark from the in-memory synthesis, recomputed by DuckDB over the
+    * materialized parquet — cross-engine hash equality per row.
+    */
   val corpus: Q = (s, dir) =>
     CorpusGen.repos(s, scaleFor(dir)).toDF()
+      .withColumn("content_sha", sha2(col("content"), 256))
 
   val mentions: Q = (s, dir) =>
     Mentions.extract(CorpusGen.repos(s, scaleFor(dir)).toDF())
 
   val dictionary: Q = (s, dir) => result(s, dir).dictionary
 
+  /** rank cast to long for the cross-engine compare (DuckDB row_number
+    * yields BIGINT).
+    */
   val candidates: Q = (s, dir) => result(s, dir).candidates
+    .select(col("entity_id"), col("account_id"), col("freq"),
+      col("rank").cast("long").as("rank"))
 
   val triples: Q = (s, dir) => result(s, dir).triples
 
+  /** P/R/F1 rounded to 6 decimals for the cross-engine compare (the spec
+    * surfaces use Scorer.evaluate's exact doubles).
+    */
   val evaluation: Q = (s, dir) =>
     Scorer.evaluate(result(s, dir).alignments,
-      CorpusGen.gold(s, scaleFor(dir)).toDF())
+        CorpusGen.gold(s, scaleFor(dir)).toDF())
+      .select(col("tp"), col("fp"), col("fn"),
+        round(col("precision"), 6).as("precision"),
+        round(col("recall"), 6).as("recall"),
+        round(col("f1"), 6).as("f1"))
 
   /** A4+A5 on the kg corpus itself: normalized co-mention edges. */
   val socialGraph: Q = (s, dir) => {
@@ -119,10 +138,12 @@ object KgQueries {
     "kg_candidate_stats" -> candidateStats,
   )
 
-  /** DuckDB replays of the SQL-expressible stages over the parquet inputs
-    * Verify materializes (KgOracle) — the remaining stages (full scorer,
-    * triples, grid eval) stay gated by the exact-triple-set scalar-oracle
-    * specs.
+  /** DuckDB replays over the parquet frames Verify materializes (KgOracle):
+    * corpus/mentions/dictionary/social-graph/exact-candidates recomputed
+    * from the PRIMARY inputs, and evaluation/grid/diagnostics/CC+triples
+    * replayed from the frozen scored-pair frame. The per-pair feature math
+    * itself (and the fuzzy candidate tail) stays gated by the
+    * exact-triple-set scalar-oracle specs (KgPipelineSpec).
     */
   def oracles: Map[String, String] = KgOracle.oracles
 }

@@ -45,17 +45,17 @@ object OpsQueries {
   // shared with the Scala kernels (laneConst, planeVec, tablesFor) so the
   // two sides cannot drift.
 
-  private val M64 = "18446744073709551616::HUGEINT"
+  private[graft] val M64 = "18446744073709551616::HUGEINT"
 
   /** x · c mod 2⁶⁴ with c ~2⁶⁴: 32-bit limb decomposition. */
-  private def mulModExpr(x: String, c: Long): String = {
+  private[graft] def mulModExpr(x: String, c: Long): String = {
     val ch = c >>> 32
     val cl = c & 0xFFFFFFFFL
     s"(($x % 4294967296::HUGEINT) * $cl::HUGEINT + (((($x % 4294967296::HUGEINT) * $ch::HUGEINT + ($x // 4294967296::HUGEINT) * $cl::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT)) % $M64"
   }
 
   /** FNV-1a 64 over a string column (Dedup.fnv1a mirror). */
-  private def fnvExpr(c: String): String =
+  private[graft] def fnvExpr(c: String): String =
     s"""list_reduce(list_prepend(14695981039346656037::HUGEINT,
        |    list_transform(range(1, length($c) + 1), i -> ascii($c[i])::HUGEINT)),
        |    (h, ch) -> (xor(h, ch) * 1099511628211::HUGEINT) % $M64)""".stripMargin
@@ -64,7 +64,7 @@ object OpsQueries {
     * CTE `${p}5` carrying `${p}x3`; the mixed value is
     * `xor(${p}x3, ${p}x3 >> 31)` (CorpusGen.mix mirror).
     */
-  private def mixChainCtes(p: String, from: String, in: String): String =
+  private[graft] def mixChainCtes(p: String, from: String, in: String): String =
     s"""${p}1 AS (SELECT *, ($in + 11400714819323198485::HUGEINT) % $M64 AS ${p}x1 FROM $from),
        |${p}2 AS (SELECT *, xor(${p}x1, ${p}x1 >> 30) AS ${p}y1 FROM ${p}1),
        |${p}3 AS (SELECT *, ${mulModExpr(s"${p}y1", 0xbf58476d1ce4e5b9L)} AS ${p}x2 FROM ${p}2),
