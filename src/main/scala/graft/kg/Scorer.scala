@@ -152,8 +152,15 @@ object Scorer {
         .withColumnRenamed("tnorm", "a_tnorm"), Seq("account_id"), "left")
       .join(sgVec, Seq("account_id"), "left")
 
-    val joined = entJoin(candidates, ent)
-      .join(acc, Seq("account_id"))
+    // Join order matters for shuffle traffic: candidates ⋈ acc FIRST (only
+    // the narrow (entity_id, account_id, freq, rank) rows shuffle on
+    // account_id — the acc side is already hash-clustered on account_id by
+    // its own builds), THEN the entity dim, broadcast/bucketed, attaches
+    // its wide payload (name arrays, tvec entries, embedding) map-side.
+    // The old order (ent first) shuffled 5M pair rows CARRYING the entity
+    // payload by account_id — the widest shuffle of the whole pipeline.
+    // Inner equi-joins commute, so the output is row-identical.
+    val joined = entJoin(candidates.join(acc, Seq("account_id")), ent)
 
     val descOverlap = coalesce(
       when(size(col("desc_tok")) > 0,

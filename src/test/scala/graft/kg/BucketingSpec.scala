@@ -44,6 +44,39 @@ class BucketingSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("no shuffle in the featurize plan carries the wide entity payload") {
+    // join order inside featurize: narrow candidates ⋈ acc first (shuffle on
+    // account_id moves only (entity_id, account_id, freq, rank)), entity dim
+    // broadcast LAST — the wide per-entity arrays (name list, hashed tvec
+    // entries, embedding, abstract tokens) must reach the pair rows map-side
+    // only, never through an Exchange. At 100 TB that wide shuffle was the
+    // single largest data movement of the pipeline.
+    val wasAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val scale = CorpusGen.Tiny
+      val repos = CorpusGen.repos(spark, scale).toDF()
+      val entities = CorpusGen.entities(spark, scale).toDF()
+      val accounts = CorpusGen.accounts(spark, scale).toDF()
+      val dict = Dictionary.build(spark, Mentions.extract(repos), accounts)
+      val cands = CandidateGen.candidates(spark, entities, dict)
+      val feats = Scorer.featurize(cands, entities, accounts, repos,
+        CorpusGen.accountEmbeddings(spark, scale).toDF(),
+        CorpusGen.entityEmbeddings(spark, scale).toDF())
+      // dim-side builds (|entities| rows) may legitimately exchange their
+      // own payload; the killer is a PAIR-level shuffle — rows keyed by
+      // account_id that also drag the per-entity arrays along
+      val wide = Set("names_norm", "abs_tok", "e_tvec", "evec")
+      val offenders = feats.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec
+            if e.output.exists(_.name == "account_id") &&
+              e.output.exists(a => wide.contains(a.name)) => e
+      }
+      assert(offenders.isEmpty,
+        s"entity payload columns cross a pair shuffle: ${offenders.map(_.output.map(_.name))}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", wasAqe)
+  }
+
   test("bucketed featurize output is identical to the broadcast path") {
     val scale = CorpusGen.Tiny
     val repos = CorpusGen.repos(spark, scale).toDF()
