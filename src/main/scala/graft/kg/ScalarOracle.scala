@@ -220,7 +220,10 @@ object ScalarOracle {
 
         // ---------------- scoring (mirrors Scorer.score Column arithmetic)
         val (eEntries, eNorm) = entityVector(ent.abstractText)
-        val absTokSet = Text.tokens(ent.abstractText).distinct.toSet
+        // hashed-token mirror of Scorer.distinctTokensUdf (xxLane = the
+        // xxhash64 expression; hashed-then-distinct like the UDF)
+        val absTokSet = Text.tokens(ent.abstractText).distinct
+          .map(graft.ops.Dedup.xxLane(0, _)).distinct.toSet
         val homepage = ent.homepage
         val hpCount = if (homepage.isEmpty) 0L else urlCount.getOrElse(homepage, 0L)
         val scored = topK.map { case (acc, freq) =>
@@ -228,6 +231,7 @@ object ScalarOracle {
           val nameSim = Text.nameSimilarity(ent.names, a.name)
           val tCos = textCos(eEntries, eNorm, acc)
           val dTok = Text.tokens(a.description).distinct
+            .map(graft.ops.Dedup.xxLane(0, _)).distinct
           val dOverlap =
             if (dTok.isEmpty) 0.0
             else dTok.count(absTokSet.contains).toDouble / dTok.length.toDouble

@@ -56,7 +56,15 @@ object Scorer {
 
   val normNameUdf = udf((s: String) => Text.normalizeName(s))
 
-  val distinctTokensUdf = udf((s: String) => Text.tokens(s).distinct.toSeq)
+  /** Distinct tokens carried as xxhash64 hashes (graft.ops.Dedup.xxLane
+    * mirrors the Catalyst expression, and the scalar oracle hashes with the
+    * same function): the arrays ride the entity broadcast and the per-pair
+    * intersect, so 8-byte longs beat strings on both; a cross-token
+    * collision needs ~|vocab|²/2⁶⁴ luck and the oracle collides
+    * identically. Hashed-then-distinct so both sides count set-wise.
+    */
+  val distinctTokensUdf = udf((s: String) =>
+    Text.tokens(s).distinct.map(graft.ops.Dedup.xxLane(0, _)).distinct.toSeq)
 
   /** Mean Jaro-Winkler of the candidate name vs all (pre-normalized) entity
     * names — F5 as a fold over the names array with the codegen expression.
