@@ -24,6 +24,8 @@ object Scaling {
       // high-thread shuffle writes; a real cluster has per-executor local
       // SSDs, so tmpfs is the closer stand-in
       .config("spark.local.dir", "/dev/shm/spark-local")
+      // bucketed featurize tables on tmpfs too (per-executor SSD stand-in)
+      .config("spark.sql.warehouse.dir", "/dev/shm/spark-local/warehouse")
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
@@ -70,9 +72,17 @@ object Scaling {
       time("dictionary")(dict.count())
       val cands = CandidateGen.candidates(spark, entities, dict).persist(MEMORY_AND_DISK)
       time("candidates")(cands.count())
+      // featurize strategy: Pipeline.confFor's scale-based auto-switch
+      // (bucketed at bench scales), overridable for A/B via
+      // GRAFT_FEATURIZE=broadcast|bucketed
+      val conf = Pipeline.confFor(scale, sys.env.get("GRAFT_FEATURIZE") match {
+        case Some("bucketed") => KgConf(bucketedFeaturize = true)
+        case Some("broadcast") => KgConf(featurizeAutoBucketFiles = Int.MaxValue)
+        case _ => KgConf()
+      })
       val aligned = Scorer.score(cands, entities, accounts, repos,
           CorpusGen.accountEmbeddings(spark, scale).toDF(),
-          CorpusGen.entityEmbeddings(spark, scale).toDF())
+          CorpusGen.entityEmbeddings(spark, scale).toDF(), conf)
         .persist(MEMORY_AND_DISK)
       time("features_scoring")(aligned.count())
       val reps = Canonicalize.representatives(spark, aligned).persist(MEMORY_AND_DISK)

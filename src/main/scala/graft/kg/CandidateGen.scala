@@ -31,11 +31,21 @@ final case class KgConf(
     wHomeUnique: Double = 1.0,
     bias: Double = -8.0,
     // scale switch for the featurize pair join: broadcast the entity dim
-    // (default — fastest while the dim fits executor memory) vs bucketed
-    // tables on entity_id (Exchange-free co-located join; the 100-TB path,
-    // where the entity dim grows with the corpus and cannot broadcast)
+    // (fastest while the dim fits executor memory) vs bucketed tables on
+    // entity_id (Exchange-free co-located join, no serial driver-side
+    // broadcast build; the 100-TB path, where the entity dim grows with
+    // the corpus and cannot broadcast). Pipeline.confFor flips this ON
+    // automatically for scales with >= featurizeAutoBucketFiles files —
+    // measured at 2M files/local[16] the bucketed stage is 1.9× faster
+    // (18.8 s vs 35.1 s) and scales better (no serial broadcast build).
     bucketedFeaturize: Boolean = false,
-    featurizeBuckets: Int = 64)
+    featurizeBuckets: Int = 64,
+    // bucketed-table name prefix; per-SCALE names (set by Pipeline.confFor)
+    // keep concurrent scales in one session from aliasing each other's
+    // tables — same-scale overwrites rewrite identical bytes (deterministic
+    // synthesis), so lazy frames never see foreign data
+    featurizePrefix: String = "graft_feat",
+    featurizeAutoBucketFiles: Int = 100000)
 
 /** Stage 3: candidate generation — entity query names joined against the
   * dictionary, per-entity frequency rollup, top-K with deterministic

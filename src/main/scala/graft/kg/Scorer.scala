@@ -206,7 +206,8 @@ object Scorer {
       entityEmbeddings: DataFrame, conf: KgConf = KgConf()): DataFrame = {
     val entJoin =
       if (conf.bucketedFeaturize)
-        bucketedEntJoin(candidates.sparkSession, conf.featurizeBuckets)
+        bucketedEntJoin(candidates.sparkSession, conf.featurizeBuckets,
+          conf.featurizePrefix)
       else broadcastEntJoin
     val feats = featurize(candidates, entities, accounts, repos,
       accountEmbeddings, entityEmbeddings, entJoin)
