@@ -45,7 +45,12 @@ final case class KgConf(
     // tables — same-scale overwrites rewrite identical bytes (deterministic
     // synthesis), so lazy frames never see foreign data
     featurizePrefix: String = "graft_feat",
-    featurizeAutoBucketFiles: Int = 100000)
+    // crossover measured on this box: at 300k files the dim broadcast is
+    // tiny and the two bucketed-table writes cost more than they save
+    // (dedicated-run throughput 25.2k vs 17.2k triples/s); at 2M files
+    // bucketed wins 1.9-3.6× on the stage. 1M splits the measured points;
+    // at true cluster scale the dim cannot broadcast at all.
+    featurizeAutoBucketFiles: Int = 1000000)
 
 /** Stage 3: candidate generation — entity query names joined against the
   * dictionary, per-entity frequency rollup, top-K with deterministic
