@@ -324,8 +324,16 @@ object CorpusGen {
 
   // ---------------------------------------------------------------- gold
 
+  /** Dead entities expect ABSTENTION (-1), not alignment: the reference
+    * pipeline refuses dead entities by spec (the P6 filter,
+    * ProcessDataset.java:192-195), so its evaluation data can never hold a
+    * positive expectation for one — a synthetic positive there would plant
+    * an unsatisfiable-by-design FN that mismeasures selection quality
+    * (it previously accounted for 59 of the 68 small-scale FNs).
+    */
   def goldRow(i: Long): GoldRow =
-    GoldRow(entityId(i), if (hasGold(i)) accountIdOf(i) else -1L)
+    GoldRow(entityId(i),
+      if (hasGold(i) && !isDead(i)) accountIdOf(i) else -1L)
 
   // ---------------------------------------------------------------- embeddings
 
