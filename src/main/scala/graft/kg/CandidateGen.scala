@@ -20,7 +20,8 @@ final case class KgConf(
     // NN), round-3 refit: random search over the dumped feature table
     // (Tune.scala) with the F12 homepage binaries in the model,
     // cross-validated on the Tiny corpus (no regression). Small-scale gold
-    // F1 0.9531 → 0.9569 (P 0.9664, R 0.9475); (minScore, margin) is the
+    // F1 0.9531 → 0.9569 → 0.9797 after the dead-gold fix (P 0.9664,
+    // R 0.9934); (minScore, margin) is the
     // 20×5 decision-grid argmax for these weights (GoldEvalSpec gate).
     wName: Double = 11.62,
     wText: Double = 0.85,  // TF-IDF corpus-text cosine (DBTextScorerv2 analogue)
