@@ -61,6 +61,13 @@ object KgOracle {
     */
   def materialize(spark: SparkSession, sfDir: String): Unit = {
     val scale = KgQueries.scaleFor(sfDir)
+    // The oracle SQL strings are static text pinned to the Small dir (the
+    // driver contract runs Verify at sf0.01 → Small). Materializing any
+    // other scale would leave the SQL reading absent/stale Small parquet —
+    // fail fast instead of producing confusing oracle mismatches.
+    require(dirFor(scale.name) == OracleDir,
+      s"Verify/KgOracle only supports the sf0.01 (${kg.CorpusGen.Small.name}) scale; " +
+        s"got $sfDir → ${scale.name}. The static oracle SQL reads $OracleDir.")
     val d = dirFor(scale.name)
     kg.CorpusGen.repos(spark, scale).toDF()
       .write.mode("overwrite").parquet(s"$d/corpus.parquet")

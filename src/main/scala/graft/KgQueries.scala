@@ -28,11 +28,12 @@ object KgQueries {
     else if (dir.contains("sf0.01")) CorpusGen.Small
     else CorpusGen.Tiny
 
-  // WeakHashMap keyed by the session OBJECT: entries (and the persisted
-  // frames their Results reference) become collectable once the session is
-  // unreachable — identityHashCode keys would accumulate for the JVM
-  // lifetime and could even (post-GC hash reuse) hand a fresh session a
-  // Result bound to a stopped one.
+  // Keyed by the session OBJECT so a fresh session never sees a Result
+  // bound to a stopped one. Weak keying alone can NOT reclaim entries —
+  // the Result's DataFrames strongly reference their SparkSession (the
+  // key) through their QueryExecution, so the map is evicted EXPLICITLY:
+  // a SparkListener removes the session's entry (and unpersists its
+  // frames) when the application ends.
   private val memo =
     new java.util.WeakHashMap[SparkSession,
       scala.collection.concurrent.TrieMap[String, Pipeline.Result]]()
@@ -44,6 +45,15 @@ object KgQueries {
       if (m == null) {
         m = scala.collection.concurrent.TrieMap.empty[String, Pipeline.Result]
         memo.put(s, m)
+        s.sparkContext.addSparkListener(
+          new org.apache.spark.scheduler.SparkListener {
+            override def onApplicationEnd(
+                end: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+              memo.synchronized {
+                val gone = memo.remove(s)
+                if (gone != null) gone.values.foreach(_.unpersist())
+              }
+          })
       }
       m
     }

@@ -201,7 +201,7 @@ object OpsQueries {
   val EmbTables: Int = Dedup.tablesFor(EmbPlanes, threshold = 0.35, recall = 0.95)
 
   val dedupEmbedding: Q = (s, dir) =>
-    Dedup.embeddingNearDups(embs(s, dir), planesOverride = EmbPlanes,
+    Dedup.embeddingNearDups(embs(s, dir), nVec = -1L, planesOverride = EmbPlanes,
         tablesOverride = EmbTables)
       .orderBy(col("vec_a"), col("vec_b"))
 

@@ -447,13 +447,17 @@ object Queries {
     """SELECT n_name, row_number() OVER (ORDER BY n_name ASC) - 1 AS idx
       |FROM nation ORDER BY idx""".stripMargin
 
-  /** A10: dense zero-fill against a generated id range. */
+  /** A10: dense zero-fill against a generated id range — one lazy plan:
+    * the id domain comes from sequence+explode over the 1-row max aggregate
+    * (no driver-side collect; the explode task count equals the key-domain
+    * size, which is exactly the output size of a dense zero-fill anyway).
+    */
   val a10ZeroFill: Q = (s, dir) => {
     val ev = t(s, dir, "events")
-    val maxUid = ev.agg(max(col("user_id"))).collect()(0).getLong(0)
+    val ids = ev.agg(max(col("user_id")).as("mx"))
+      .select(explode(sequence(lit(0L), col("mx"))).as("user_id"))
     val counts = ev.groupBy(col("user_id")).agg(count(lit(1)).as("n"))
-    s.range(0, maxUid + 1).toDF("user_id")
-      .join(counts, Seq("user_id"), "left")
+    ids.join(counts, Seq("user_id"), "left")
       .select(col("user_id"), coalesce(col("n"), lit(0L)).as("n"))
       .orderBy(col("user_id"))
   }

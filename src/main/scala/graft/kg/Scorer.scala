@@ -112,17 +112,29 @@ object Scorer {
     if (fs.exists(path)) fs.delete(path, true)
   }
 
+  /** Serializes the drop→rewrite window per table prefix within this JVM:
+    * resetTable's DROP + fs.delete followed by saveAsTable is not atomic,
+    * so two concurrent same-prefix runs (e.g. parallel Scaling sessions
+    * sharing a warehouse) could race a reader into the deleted-but-not-yet-
+    * rewritten window. Same-scale rewrites are byte-identical (deterministic
+    * synthesis), so serializing the writers is sufficient.
+    */
+  private val bucketLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   def bucketedEntJoin(spark: SparkSession, nBuckets: Int,
       prefix: String = "graft_feat"): (DataFrame, DataFrame) => DataFrame =
     (cands, ent) => {
       val ct = s"${prefix}_candidates"
       val et = s"${prefix}_entity_dim"
-      resetTable(spark, ct)
-      resetTable(spark, et)
-      cands.write.mode("overwrite").format("parquet")
-        .bucketBy(nBuckets, "entity_id").sortBy("entity_id").saveAsTable(ct)
-      ent.write.mode("overwrite").format("parquet")
-        .bucketBy(nBuckets, "entity_id").sortBy("entity_id").saveAsTable(et)
+      bucketLocks.computeIfAbsent(prefix, _ => new Object).synchronized {
+        resetTable(spark, ct)
+        resetTable(spark, et)
+        cands.write.mode("overwrite").format("parquet")
+          .bucketBy(nBuckets, "entity_id").sortBy("entity_id").saveAsTable(ct)
+        ent.write.mode("overwrite").format("parquet")
+          .bucketBy(nBuckets, "entity_id").sortBy("entity_id").saveAsTable(et)
+      }
       spark.table(ct).join(spark.table(et), Seq("entity_id"))
     }
 

@@ -574,15 +574,18 @@ object Dedup {
     * shuffle is the bucket self-join, whose fan-out is bounded by
     * `bucketCap`.
     */
-  def embeddingNearDups(embs: DataFrame, nVec: Long = -1L, dim: Int = 64,
+  def embeddingNearDups(embs: DataFrame, nVec: Long, dim: Int = 64,
       threshold: Double = 0.35, recall: Double = 0.95,
       bucketCap: Int = 1024, planesOverride: Int = -1,
       tablesOverride: Int = -1): DataFrame = {
-    // explicit planes/tables skip the corpus-count pass entirely (callers
-    // at scale should pass them, or at least nVec)
+    // nVec is REQUIRED (no default): sizing the planes from an implicit
+    // embs.count() would silently add a full corpus pass at scale. Pass a
+    // (possibly approximate) corpus size, or planesOverride to skip sizing.
+    require(nVec >= 0 || planesOverride > 0,
+      "embeddingNearDups needs nVec >= 0 (approximate corpus size) or an explicit planesOverride")
     val planes =
       if (planesOverride > 0) planesOverride
-      else planesFor(if (nVec >= 0) nVec else embs.count())
+      else planesFor(nVec)
     val tables =
       if (tablesOverride > 0) tablesOverride
       else tablesFor(planes, threshold, recall)

@@ -158,10 +158,17 @@ object Multimodal {
       y += 1
     }
     val n = (w * h).toFloat
+    // per-quadrant pixel counts: for odd width/height the four quadrants
+    // are NOT equal-sized, so each mean divides by its actual count
+    val qw0 = w / 2; val qh0 = h / 2 // "low" half sizes (x*2 < w ⇔ x < ceil(w/2))
+    val qw = Array(w - qw0, qw0, w - qw0, qw0) // cols in quadrants 0..3
+    val qh = Array(h - qh0, h - qh0, qh0, qh0) // rows in quadrants 0..3
+    def qmean(i: Int): Float =
+      if (qw(i) * qh(i) == 0) 0f
+      else quad(i) / (qw(i) * qh(i)).toFloat / 255f
     Array(
       r / n / 255f, g / n / 255f, b / n / 255f,
-      quad(0) / (n / 4) / 255f, quad(1) / (n / 4) / 255f,
-      quad(2) / (n / 4) / 255f, quad(3) / (n / 4) / 255f,
+      qmean(0), qmean(1), qmean(2), qmean(3),
       w.toFloat / h.toFloat)
   }
 
@@ -198,6 +205,9 @@ object Multimodal {
   def decodeVideo(payload: Array[Byte], sampleEvery: Int): (Int, Array[Float]) = {
     val bb = ByteBuffer.wrap(payload)
     val nFrames = bb.getInt
+    // malformed container: a non-positive frame count would NaN the feature
+    // averages (divide by sampled.length == 0) or corrupt the offset parse
+    if (nFrames <= 0) return (0, new Array[Float](8))
     val offsets = new Array[(Int, Int)](nFrames) // (offset, len)
     var pos = 4
     var f = 0

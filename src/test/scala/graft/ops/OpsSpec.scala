@@ -115,7 +115,7 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
 
   test("embedding LSH recall ≥ 0.9 vs brute force at sf0.1") {
     val e = graft.Tables.embeddings(spark, "/root/testdata/sf0.1")
-    val lsh = Dedup.embeddingNearDups(e)
+    val lsh = Dedup.embeddingNearDups(e, nVec = 2000L)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val brute = Dedup.embeddingBrute(e)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -204,7 +204,7 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     val near = v.zipWithIndex.map { case (x, i) => if (i == 0) x + 0.01f else x }
     val far = (0 until 64).map(i => math.cos(i * 2.3 + 1).toFloat).toArray
     val df = Seq((1L, v), (2L, near), (3L, far)).toDF("vec_id", "embedding")
-    val pairs = Dedup.embeddingNearDups(df, threshold = 0.9)
+    val pairs = Dedup.embeddingNearDups(df, nVec = 3L, threshold = 0.9)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs == Set((1L, 2L)))
   }
