@@ -492,6 +492,50 @@ object OpsQueries {
        |JOIN cat_tot ct ON tc.category = ct.category, n
        |ORDER BY tc.token, tc.category""".stripMargin
 
+  /** Shared contingency CTE text for the MI / odds-ratio oracles (mirrors
+    * ops.TfIdf.contingency: A ≥ 5 gate, D from the lazy N).
+    */
+  private val contingencySqlCtes: String =
+    s"""toks AS (
+       |  SELECT DISTINCT doc_id, category, token FROM (
+       |    SELECT doc_id, lang AS category,
+       |      unnest($tokensSqlExpr) AS token FROM documents)),
+       |tok_cat AS (
+       |  SELECT token, category, count(*) AS a FROM toks
+       |  GROUP BY token, category HAVING count(*) >= 5),
+       |tok_tot AS (SELECT token, count(*) AS n1x FROM toks GROUP BY token),
+       |cat_tot AS (SELECT lang AS category, count(*) AS nx1 FROM documents GROUP BY lang),
+       |n AS (SELECT count(*) AS n FROM documents),
+       |cont AS (
+       |  SELECT tc.token AS token, tc.category AS category, tc.a AS a,
+       |    tt.n1x - tc.a AS b, ct.nx1 - tc.a AS c,
+       |    n.n - tt.n1x - (ct.nx1 - tc.a) AS d
+       |  FROM tok_cat tc
+       |  JOIN tok_tot tt ON tc.token = tt.token
+       |  JOIN cat_tot ct ON tc.category = ct.category, n)""".stripMargin
+
+  val textMi: Q = (s, dir) =>
+    ops.TfIdf.mutualInformation(docs(s, dir).withColumnRenamed("lang", "category"))
+      .orderBy(col("token"), col("category"))
+
+  val textMiSql: String =
+    s"""WITH $contingencySqlCtes
+       |SELECT token, category, a,
+       |  a::DOUBLE / ((a + c) * (a + b))::DOUBLE AS mi
+       |FROM cont ORDER BY token, category""".stripMargin
+
+  val textOddsRatio: Q = (s, dir) =>
+    ops.TfIdf.oddsRatio(docs(s, dir).withColumnRenamed("lang", "category"))
+      .orderBy(col("token"), col("category"))
+
+  val textOddsRatioSql: String =
+    s"""WITH $contingencySqlCtes
+       |SELECT token, category, a,
+       |  CASE WHEN b * c = 0
+       |    THEN CASE WHEN a * d > 0 THEN 1.7976931348623157e308 ELSE 0.0 END
+       |    ELSE (a * d)::DOUBLE / (b * c)::DOUBLE END AS odds_ratio
+       |FROM cont ORDER BY token, category""".stripMargin
+
   // ---------------------------------------------------------------- cooc
 
   /** A8/W4/W5: token dictionary with dense rank ids. */
@@ -631,8 +675,56 @@ object OpsQueries {
 
   // ---------------------------------------------------------------- media
 
-  val multimodalFeatures: Q = (s, dir) =>
-    Multimodal.featureStats(s, docs(s, dir))
+  /** Per-row decode features (synthesize → mapPartitions batch decode),
+    * floats widened to doubles (exact) so the cross-engine compare is
+    * bit-deterministic — no float aggregation whose fold order could
+    * differ between engines.
+    */
+  val multimodalFeatures: Q = (s, dir) => {
+    val feats = Multimodal.extractFeatures(s, Multimodal.synthesize(docs(s, dir))).toDF()
+    val fcols = (0 until 8).map(i =>
+      element_at(col("features"), i + 1).cast("double").as(s"f$i"))
+    feats.select(Seq(col("media_id"), col("kind"), col("n_bytes"),
+        col("frames_sampled")) ++ fcols: _*)
+      .orderBy(col("media_id"))
+  }
+
+  /** Frozen ground truth for `multimodal_features`: an INDEPENDENT
+    * single-threaded plain-JVM replay (no Spark execution — a driver-side
+    * loop over the doc ids through the same scalar decode kernels, the
+    * ScalarOracle pattern) written to a fixed parquet path that the static
+    * oracle SQL reads. Verify calls this before the query dump; the
+    * KgOracle scale guard already pins Verify to the sf0.01 contract dir.
+    */
+  val MultimodalOracleDir = "/root/repo/target/mm_oracle"
+
+  final case class MmOracleRow(media_id: Long, kind: String, n_bytes: Int,
+      frames_sampled: Int, f0: Double, f1: Double, f2: Double, f3: Double,
+      f4: Double, f5: Double, f6: Double, f7: Double)
+
+  def materializeMultimodalOracle(s: SparkSession, dir: String): Unit = {
+    import s.implicits._
+    val ids = docs(s, dir).select(col("doc_id")).as[Long].collect().sorted
+    val rows = ids.map { id =>
+      val m = Multimodal.synthRow(id)
+      val (sampled, f) = m.kind match {
+        case "image" => (1, Multimodal.decodeImage(m.payload))
+        case "audio" => (1, Multimodal.decodeAudio(m.payload))
+        case _ => Multimodal.decodeVideo(m.payload, 10)
+      }
+      MmOracleRow(m.media_id, m.kind, m.payload.length, sampled,
+        f(0).toDouble, f(1).toDouble, f(2).toDouble, f(3).toDouble,
+        f(4).toDouble, f(5).toDouble, f(6).toDouble, f(7).toDouble)
+    }.toSeq
+    s.createDataFrame(rows).coalesce(1)
+      .write.mode("overwrite").parquet(s"$MultimodalOracleDir/features.parquet")
+  }
+
+  val multimodalFeaturesSql: String =
+    s"""SELECT media_id, kind, n_bytes, frames_sampled,
+       |  f0, f1, f2, f3, f4, f5, f6, f7
+       |FROM read_parquet('$MultimodalOracleDir/features.parquet/*.parquet')
+       |ORDER BY media_id""".stripMargin
 
   // ---------------------------------------------------------------- registry
 
@@ -655,6 +747,8 @@ object OpsQueries {
     "text_fingerprint" -> textFingerprint,
     "text_tfidf" -> textTfidf,
     "text_chi2" -> textChi2,
+    "text_mi" -> textMi,
+    "text_oddsratio" -> textOddsRatio,
     "cooc_dictionary" -> coocDictionary,
     "cooc_pairs" -> coocPairs,
     "cooc_marginals" -> coocMarginals,
@@ -682,6 +776,9 @@ object OpsQueries {
     "text_tokens" -> textTokensSql,
     "text_tfidf" -> textTfidfSql,
     "text_chi2" -> textChi2Sql,
+    "text_mi" -> textMiSql,
+    "text_oddsratio" -> textOddsRatioSql,
     "cooc_dictionary" -> coocDictionarySql,
+    "multimodal_features" -> multimodalFeaturesSql,
   )
 }

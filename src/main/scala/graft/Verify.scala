@@ -17,6 +17,8 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     // synthesized kg inputs → parquet, so the kg oracle SQL can read them
     KgOracle.materialize(spark, sfDir)
+    // frozen single-threaded multimodal decode replay → parquet ground truth
+    OpsQueries.materializeMultimodalOracle(spark, sfDir)
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

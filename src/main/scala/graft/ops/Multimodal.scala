@@ -113,21 +113,23 @@ object Multimodal {
       case _ => "video"
     }
 
-  private val synthUdf = udf((id: Long) => {
-    val k = kindOf(id)
-    k match {
-      case "image" =>
-        val w = 8 + (mix(id * 3 + 1) % 24).abs.toInt
-        val h = 8 + (mix(id * 3 + 2) % 16).abs.toInt
-        MediaRow(id, k, pngBytes(id, w, h), w, h, 0, 1)
-      case "audio" =>
-        val n = 256 + (mix(id * 3 + 1) % 512).abs.toInt
-        MediaRow(id, k, wavBytes(id, n, 16000), 0, 0, 16000, 1)
-      case _ =>
-        val nf = 2 + (mix(id * 3 + 1) % 6).abs.toInt
-        MediaRow(id, k, videoBytes(id, nf, 8, 8), 8, 8, 0, nf)
-    }
-  })
+  /** One deterministic media row of `id` — shared by the distributed
+    * synthesis UDF and the single-threaded oracle replay.
+    */
+  def synthRow(id: Long): MediaRow = kindOf(id) match {
+    case k @ "image" =>
+      val w = 8 + (mix(id * 3 + 1) % 24).abs.toInt
+      val h = 8 + (mix(id * 3 + 2) % 16).abs.toInt
+      MediaRow(id, k, pngBytes(id, w, h), w, h, 0, 1)
+    case k @ "audio" =>
+      val n = 256 + (mix(id * 3 + 1) % 512).abs.toInt
+      MediaRow(id, k, wavBytes(id, n, 16000), 0, 0, 16000, 1)
+    case k =>
+      val nf = 2 + (mix(id * 3 + 1) % 6).abs.toInt
+      MediaRow(id, k, videoBytes(id, nf, 8, 8), 8, 8, 0, nf)
+  }
+
+  private val synthUdf = udf((id: Long) => synthRow(id))
 
   /** Synthesize a media table from documents: one REAL payload per doc
     * (PNG / WAV-PCM / frame container), metadata consistent with it.

@@ -33,6 +33,64 @@ object TfIdf {
       .select(col("doc_id"), col("token"),
         round(col("tf") * col("idf"), 4).as("tfidf"))
 
+  /** Shared 2×2 contingency counts of (token, category) over a
+    * docs(doc_id, text, category) table — the (A, B, C, D, N) frame every
+    * reference selection metric consumes (FeatureSelectionMethod.java:8-19:
+    * A = docs containing the token with the category, B = containing
+    * without, C = category without the token, D = neither, N = total).
+    * N is folded into the lazy plan (1-row aggregate broadcast-crossed),
+    * no driver count. Gate: A ≥ minCount
+    * (FeatureSelection.DEFAULT_MIN_FEATURE_FREQ).
+    */
+  def contingency(docs: DataFrame, minCount: Long = 5): DataFrame = {
+    val nDf = docs.agg(count(lit(1)).as("n_total"))
+    val tokDocs = docs
+      .select(col("doc_id"), col("category"),
+        explode(array_distinct(tokensCol(col("text")))).as("token"))
+    val tokCat = tokDocs.groupBy(col("token"), col("category"))
+      .agg(count(lit(1)).as("a"))
+      .filter(col("a") >= minCount)
+    val tokTotal = tokDocs.groupBy(col("token")).agg(count(lit(1)).as("n1x"))
+    val catTotal = docs.groupBy(col("category")).agg(count(lit(1)).as("nx1"))
+    tokCat
+      .join(broadcast(tokTotal), Seq("token"))
+      .join(broadcast(catTotal), Seq("category"))
+      .crossJoin(broadcast(nDf))
+      .withColumn("b", col("n1x") - col("a"))
+      .withColumn("c", col("nx1") - col("a"))
+      .withColumn("d", col("n_total") - col("n1x") - col("c"))
+      .select(col("token"), col("category"), col("a"), col("b"), col("c"),
+        col("d"), col("n_total"))
+  }
+
+  /** A14: pointwise-MI-style selection score A / ((A+C)·(A+B)) —
+    * MutualInformation.java:10 semantics in DOUBLE arithmetic (the
+    * reference evaluates the same expression in Java int division, which
+    * truncates nearly every score to 0 — an evident bug, so the intended
+    * real-valued form is computed here). Raw IEEE doubles: integer inputs →
+    * one exact product + one division, bit-identical cross-engine.
+    */
+  def mutualInformation(docs: DataFrame, minCount: Long = 5): DataFrame =
+    contingency(docs, minCount)
+      .select(col("token"), col("category"), col("a"),
+        (col("a").cast("double") /
+          ((col("a") + col("c")) * (col("a") + col("b"))).cast("double"))
+          .as("mi"))
+
+  /** A14: odds ratio (A·D)/(B·C) — OddsRatio.java:10-17, including its
+    * +∞ → Double.MAX_VALUE clamp. The reference's 0/0 corner (A·D = 0 with
+    * B·C = 0) yields NaN there; defined as 0.0 here so the score stays
+    * total-ordered and comparable.
+    */
+  def oddsRatio(docs: DataFrame, minCount: Long = 5): DataFrame =
+    contingency(docs, minCount)
+      .select(col("token"), col("category"), col("a"),
+        when(col("b") * col("c") === 0,
+          when(col("a") * col("d") > 0, lit(Double.MaxValue)).otherwise(lit(0.0)))
+          .otherwise((col("a") * col("d")).cast("double") /
+            (col("b") * col("c")).cast("double"))
+          .as("odds_ratio"))
+
   /** χ² score of (token, category) association over a docs(doc_id, text,
     * category) table — A14 feature selection (ChiSquared.java:10).
     * Standard 2×2 χ² with the observed/expected contingency counts.
