@@ -42,7 +42,8 @@ object Tune {
     feats.join(gold.select(col("entity").as("entity_id"),
         col("accountId").as("gold_account")), Seq("entity_id"), "left")
       .coalesce(1).write.mode("overwrite").parquet("/tmp/tune_features")
-    println("[tune] features dumped to /tmp/tune_features")
+    gold.coalesce(1).write.mode("overwrite").parquet("/tmp/tune_gold")
+    println("[tune] features dumped to /tmp/tune_features (+ /tmp/tune_gold)")
     spark.stop()
   }
 }

@@ -11,30 +11,37 @@ final case class KgConf(
     // decision point: the grid argmax on the planted corpus (the
     // reference's own tuning method, PrepareTrainingSet.java:936-1039 —
     // see KgPipelineSpec "default operating point is grid-optimal")
-    minScore: Double = 0.25,
+    minScore: Double = 0.35,
     margin: Double = 0.0,
     strongThreshold: Double = 0.9, // ScoreEntities.java:141
     fuzzyEnabled: Boolean = true,  // J10 MinHash-LSH long-tail blocking
     fuzzyThreshold: Double = 0.5,  // exact shingle-Jaccard verification bar
     // logistic scorer weights (north_star: LR-style scorer replacing the
-    // NN), round-3 refit: random search over the dumped feature table
-    // (Tune.scala) with the F12 homepage binaries in the model,
-    // cross-validated on the Tiny corpus (no regression). Small-scale gold
-    // F1 0.9531 → 0.9569 → 0.9797 after the dead-gold fix (P 0.9664,
-    // R 0.9934); (minScore, margin) is the
-    // 20×5 decision-grid argmax for these weights (GoldEvalSpec gate).
+    // NN), round-4 refit: random search over the dumped feature table
+    // (Tune.scala + tools/tune_weights.py) with the full F6 popularity
+    // family and the F12 homepage binaries in the model, cross-validated
+    // on the Tiny corpus (no regression; Tiny grid-best F1 0.9697 under
+    // both weight sets). Small-scale gold F1 0.9797 → 0.9806 (P 0.9672,
+    // R 0.9942); (minScore, margin) is the 20×5 decision-grid argmax for
+    // these weights (GoldEvalSpec gate).
     wName: Double = 11.62,
-    wText: Double = 0.85,  // TF-IDF corpus-text cosine (DBTextScorerv2 analogue)
-    wDesc: Double = 2.07,  // description token overlap (DescriptionScorer)
+    wText: Double = 1.1565, // TF-IDF corpus-text cosine (DBTextScorerv2 analogue)
+    wDesc: Double = 1.5986, // description token overlap (DescriptionScorer)
     wSg: Double = 0.2,     // social-graph embedding cosine (SocialGraphEmbeddings)
     wFollowers: Double = -0.03,
     wFreq: Double = 0.13,
     wVerified: Double = 0.09,
+    // F6 popularity family (FriendsScorer/ListedScorer/StatusesScorer/
+    // FollowersFriendsRatioScorer.java:11-18): guarded ln features
+    wFriends: Double = 0.0,
+    wListed: Double = 0.0,
+    wStatuses: Double = 0.0193,
+    wFfRatio: Double = 0.0032,
     // F12 homepage-alignment binaries (HomepageAlignmentsScorer.java:79-113)
     wHomeMatch: Double = 0.35,
     wHomeExists: Double = -0.61,
-    wHomeUnique: Double = 0.13,
-    bias: Double = -13.28,
+    wHomeUnique: Double = 0.2137,
+    bias: Double = -12.8576,
     // scale switch for the featurize pair join: broadcast the entity dim
     // (fastest while the dim fits executor memory) vs bucketed tables on
     // entity_id (Exchange-free co-located join, no serial driver-side

@@ -248,6 +248,13 @@ object ScalarOracle {
             conf.wFollowers * (math.log(a.followers.toDouble + 1.0) / math.log(10.0)) +
             conf.wFreq * (math.log(freq.toDouble + 1.0) / math.log(10.0)) +
             conf.wVerified * (if (a.verified) 1.0 else 0.0) +
+            // F6 family: guarded natural logs + followers/friends ratio,
+            // same term order as Scorer's Column sum
+            conf.wFriends * (if (a.friends > 0) math.log(a.friends.toDouble) else 0.0) +
+            conf.wListed * (if (a.listed > 0) math.log(a.listed.toDouble) else 0.0) +
+            conf.wStatuses * (if (a.statuses > 0) math.log(a.statuses.toDouble) else 0.0) +
+            conf.wFfRatio * (if (a.friends > 0 && a.followers > 0)
+              math.log(a.followers.toDouble / a.friends.toDouble) else 0.0) +
             conf.wHomeMatch * homeMatch +
             conf.wHomeExists * homeExists +
             conf.wHomeUnique * homeUnique +

@@ -167,7 +167,8 @@ object Scorer {
         col("screenName").as("screen_name"),
         normNameUdf(col("name")).as("account_name_norm"),
         distinctTokensUdf(col("description")).as("desc_tok"),
-        col("followers"), col("verified"), col("url"))
+        col("followers"), col("friends"), col("listed"), col("statuses"),
+        col("verified"), col("url"))
       .join(accVec.withColumnRenamed("tvec", "a_tvec")
         .withColumnRenamed("tnorm", "a_tnorm"), Seq("account_id"), "left")
       .join(sgVec, Seq("account_id"), "left")
@@ -199,6 +200,19 @@ object Scorer {
       log(10.0, col("followers").cast("double") + lit(1.0)).as("log_followers"),
       log(10.0, col("freq").cast("double") + lit(1.0)).as("log_freq"),
       col("verified").cast("double").as("verified_f"),
+      // F6 popularity family — the reference's guarded natural logs
+      // (FriendsScorer/ListedScorer/StatusesScorer.java:11-18, ≤0 → 0)
+      // and the followers/friends ratio
+      // (FollowersFriendsRatioScorer.java:11-18: ln(followers/friends))
+      when(col("friends") > 0, log(col("friends").cast("double")))
+        .otherwise(0.0).as("log_friends"),
+      when(col("listed") > 0, log(col("listed").cast("double")))
+        .otherwise(0.0).as("log_listed"),
+      when(col("statuses") > 0, log(col("statuses").cast("double")))
+        .otherwise(0.0).as("log_statuses"),
+      when(col("friends") > 0 && col("followers") > 0,
+        log(col("followers").cast("double") / col("friends").cast("double")))
+        .otherwise(0.0).as("ff_ratio"),
       // F12 lookup binaries (HomepageAlignmentsScorer.java:79-113):
       // the pair's urls match / the entity homepage is known to the lookup
       // / the match is unique across accounts
@@ -231,6 +245,10 @@ object Scorer {
       lit(conf.wFollowers) * col("log_followers") +
       lit(conf.wFreq) * col("log_freq") +
       lit(conf.wVerified) * col("verified_f") +
+      lit(conf.wFriends) * col("log_friends") +
+      lit(conf.wListed) * col("log_listed") +
+      lit(conf.wStatuses) * col("log_statuses") +
+      lit(conf.wFfRatio) * col("ff_ratio") +
       lit(conf.wHomeMatch) * col("home_match") +
       lit(conf.wHomeExists) * col("home_exists") +
       lit(conf.wHomeUnique) * col("home_unique") +
