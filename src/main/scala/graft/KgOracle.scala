@@ -171,9 +171,15 @@ object KgOracle {
        |  round(freq::DOUBLE / sum(freq) OVER (PARTITION BY src), 6) AS w
        |FROM e ORDER BY src, dst""".stripMargin
 
-  val candidatesExactSql: String =
-    s"""WITH $dictCte,
-       |ent AS (SELECT id AS entity_id, names, labels FROM $entities WHERE NOT dead),
+  /** Shared exact-path CTEs: query-name expansion, the all-names rollup,
+    * and the three-rung back-off ladder (all names → top-3 names by
+    * multiplicity → primary name; a rung with >300 candidates tightens,
+    * a rung that matches nothing stops the ladder empty — FillFromIndex
+    * .java:99-152 loop + AllNamesStrategy.java:29-64 rung sets, mirroring
+    * CandidateGen.rollupAll's windowed rung pick sequentially).
+    */
+  private val ladderCtes: String =
+    s"""ent AS (SELECT id AS entity_id, names, labels FROM $entities WHERE NOT dead),
        |rawq AS (
        |  SELECT entity_id, ${normNameSql("nm")} AS n
        |  FROM (SELECT entity_id, unnest(names || labels) AS nm FROM ent)),
@@ -191,9 +197,26 @@ object KgOracle {
        |  SELECT entity_id FROM (
        |    SELECT entity_id, count(*) AS n_cand FROM full_r GROUP BY entity_id)
        |  WHERE n_cand > 300),
+       |t3 AS (
+       |  SELECT entity_id, sw AS qname FROM (
+       |    SELECT entity_id, sw, row_number() OVER (PARTITION BY entity_id
+       |      ORDER BY count(*) DESC, sw ASC) AS rn
+       |    FROM (SELECT entity_id, ${swapSql("n")} AS sw FROM rawq)
+       |    WHERE length(sw) >= 3
+       |    GROUP BY entity_id, sw)
+       |  WHERE rn <= 3),
+       |mid_r AS (
+       |  SELECT t.entity_id, d.account_id, sum(d.freq) AS freq
+       |  FROM (SELECT t3.* FROM t3 JOIN over_m USING (entity_id)) t
+       |  JOIN dict d ON t.qname = d.name
+       |  GROUP BY t.entity_id, d.account_id),
+       |over_m2 AS (
+       |  SELECT entity_id FROM (
+       |    SELECT entity_id, count(*) AS n FROM mid_r GROUP BY entity_id)
+       |  WHERE n > 300),
        |prim0 AS (
        |  SELECT e.entity_id, ${normNameSql("e.names[1]")} AS n
-       |  FROM ent e JOIN over_m USING (entity_id)),
+       |  FROM ent e JOIN over_m2 USING (entity_id)),
        |prim AS (
        |  SELECT entity_id, q AS qname FROM (
        |    SELECT entity_id, ${swapSql("n")} AS q FROM prim0)
@@ -205,7 +228,15 @@ object KgOracle {
        |kept AS (
        |  SELECT * FROM full_r
        |  WHERE NOT EXISTS (SELECT 1 FROM over_m o WHERE o.entity_id = full_r.entity_id)),
-       |exact AS (SELECT * FROM kept UNION ALL SELECT * FROM narrowed)
+       |kept_mid AS (
+       |  SELECT * FROM mid_r
+       |  WHERE NOT EXISTS (SELECT 1 FROM over_m2 o WHERE o.entity_id = mid_r.entity_id)),
+       |exact AS (SELECT * FROM kept UNION ALL SELECT * FROM kept_mid
+       |          UNION ALL SELECT * FROM narrowed)""".stripMargin
+
+  val candidatesExactSql: String =
+    s"""WITH $dictCte,
+       |$ladderCtes
        |SELECT entity_id, account_id, CAST(freq AS BIGINT) AS freq, rank FROM (
        |  SELECT entity_id, account_id, freq,
        |    row_number() OVER (PARTITION BY entity_id
@@ -395,39 +426,7 @@ object KgOracle {
     val jac = "len(list_intersect(sa.sh, sb.sh))::DOUBLE / " +
       "(len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))"
     s"""WITH $dictCte,
-       |ent AS (SELECT id AS entity_id, names, labels FROM $entities WHERE NOT dead),
-       |rawq AS (
-       |  SELECT entity_id, ${normNameSql("nm")} AS n
-       |  FROM (SELECT entity_id, unnest(names || labels) AS nm FROM ent)),
-       |qn AS (
-       |  SELECT DISTINCT entity_id, q AS qname FROM (
-       |    SELECT entity_id, n AS q FROM rawq
-       |    UNION ALL
-       |    SELECT entity_id, ${swapSql("n")} AS q FROM rawq)
-       |  WHERE length(q) >= 3),
-       |full_r AS (
-       |  SELECT q.entity_id, d.account_id, sum(d.freq) AS freq
-       |  FROM qn q JOIN dict d ON q.qname = d.name
-       |  GROUP BY q.entity_id, d.account_id),
-       |over_m AS (
-       |  SELECT entity_id FROM (
-       |    SELECT entity_id, count(*) AS n_cand FROM full_r GROUP BY entity_id)
-       |  WHERE n_cand > 300),
-       |prim0 AS (
-       |  SELECT e.entity_id, ${normNameSql("e.names[1]")} AS n
-       |  FROM ent e JOIN over_m USING (entity_id)),
-       |prim AS (
-       |  SELECT entity_id, q AS qname FROM (
-       |    SELECT entity_id, ${swapSql("n")} AS q FROM prim0)
-       |  WHERE length(q) >= 3),
-       |narrowed AS (
-       |  SELECT p.entity_id, d.account_id, sum(d.freq) AS freq
-       |  FROM prim p JOIN dict d ON p.qname = d.name
-       |  GROUP BY p.entity_id, d.account_id),
-       |kept AS (
-       |  SELECT * FROM full_r
-       |  WHERE NOT EXISTS (SELECT 1 FROM over_m o WHERE o.entity_id = full_r.entity_id)),
-       |exact AS (SELECT * FROM kept UNION ALL SELECT * FROM narrowed),
+       |$ladderCtes,
        |lonely AS (
        |  SELECT q.entity_id, q.qname FROM qn q
        |  WHERE NOT EXISTS (SELECT 1 FROM exact e WHERE e.entity_id = q.entity_id)),

@@ -88,8 +88,18 @@ object Blocking {
       threshold: Double, bandCap: Int = BandCap): DataFrame = {
     val q = qnames
       .withColumn("band", explode(bandKeysUdf(col("qname"))))
+    // Restrict the dictionary-side band explosion to bands the query side
+    // actually probes BEFORE the per-band window count: dropping a whole
+    // band never changes a surviving band's member count (the cap
+    // semantics are per-band), and an unprobed band cannot produce a pair
+    // — so the count window runs over the probed bands' members only,
+    // not every band of every dictionary name. The query side is the
+    // exact-candidate-less tail (≪ dictionary by construction), hence the
+    // broadcast hint.
+    val qBands = q.select(col("band")).distinct()
     val d = dictNames
       .withColumn("band", explode(bandKeysUdf(col("name"))))
+      .join(broadcast(qBands), Seq("band"), "left_semi")
       .withColumn("bsz", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("band"))))
       .filter(col("bsz") <= bandCap)

@@ -92,11 +92,30 @@ object CandidateGen {
   })
 
   /** Primary query name = first declared name, normalized + swapped —
-    * the strictest rung of the back-off ladder (AllNamesStrategy option 3).
+    * the strictest rung of the back-off ladder (AllNamesStrategy option 2+).
     */
   val primaryNameUdf = udf((names: Seq[String]) =>
     if (names == null || names.isEmpty) ""
     else Text.swapLastFirst(Text.normalizeName(names.head)))
+
+  /** Top-3 query names — the reference's NAMES_THRESHOLD intermediate rung
+    * (AllNamesStrategy.java:29-64: names ranked by multiplicity in
+    * names∪labels; golden ladder behavior AllNamesStrategyTest.java:65-101).
+    * Multiplicity is counted over the swapped-normalized forms (the
+    * reference swaps person "Last, First" before counting,
+    * AllNamesStrategy.java:96-103); tie-break (count desc, name asc) for a
+    * total order where the reference's HashMap iteration is unstable.
+    * The returned names are ⊆ the queryNames expansion by construction
+    * (each is swap(normalize(raw)) with the same length gate).
+    */
+  val top3NamesUdf = udf((names: Seq[String], labels: Seq[String]) =>
+    (Option(names).getOrElse(Seq.empty) ++ Option(labels).getOrElse(Seq.empty))
+      .map(n => Text.swapLastFirst(Text.normalizeName(n)))
+      .filter(_.length >= 3)
+      .groupBy(identity).toSeq
+      .map { case (n, g) => (n, g.size) }
+      .sortBy { case (n, c) => (-c, n) }
+      .take(3).map(_._1).toVector)
 
   /** entity_id, qname (one row per query name of a live entity). */
   def queryNames(entities: DataFrame): DataFrame =
@@ -105,54 +124,96 @@ object CandidateGen {
       .select(col("id").as("entity_id"),
         explode(queryNamesUdf(col("names"), col("labels"))).as("qname"))
 
-  private def rollup(qnames: DataFrame, dictionary: DataFrame): DataFrame =
-    broadcast(qnames)
-      .join(dictionary, qnames("qname") === dictionary("name"))
-      .groupBy(col("entity_id"), col("account_id"))
-      .agg(sum(col("freq")).as("freq"))
+  /** queryNames plus per-rung membership flags: in_r1 ⇔ the qname is one of
+    * the entity's top-3 names (intermediate back-off rung), in_r2 ⇔ it is
+    * the primary name (strictest rung).
+    */
+  private def taggedQueryNames(entities: DataFrame): DataFrame =
+    entities
+      .filter(!col("dead"))
+      .select(col("id").as("entity_id"),
+        explode(queryNamesUdf(col("names"), col("labels"))).as("qname"),
+        top3NamesUdf(col("names"), col("labels")).as("top3"),
+        primaryNameUdf(col("names")).as("primary_q"))
+      .select(col("entity_id"), col("qname"),
+        array_contains(col("top3"), col("qname")).as("in_r1"),
+        (col("qname") === col("primary_q")).as("in_r2"))
 
   /** The PRE-cutoff candidate rollup (entity_id, account_id, freq) — every
     * account the dictionary matched after back-off and fuzzy blocking,
     * BEFORE the top-K window. Exposed separately so the A13 diagnostics
     * (index-loss vs cutoff-loss accounting) can tell "gold account was
     * never matched" apart from "matched but cut at topK".
+    *
+    * J11 back-off ladder (FillFromIndex.java:99-152 loop semantics,
+    * rung query sets from AllNamesStrategy): all names → top-3 names →
+    * primary name, each taken only while the previous rung matched more
+    * than `backoffThreshold` accounts; a rung that matches NOTHING stops
+    * the ladder with an empty result (the reference's `while result > 300`
+    * loop does not retry on empty), leaving the entity to the fuzzy pass.
+    *
+    * Dataflow: ONE pass — every rung's rollup comes out of a single
+    * dictionary join + a single (entity, account) aggregation with
+    * per-rung conditional sums (the rung query sets are nested subsets of
+    * the all-names expansion), and rung selection is window arithmetic
+    * over the entity partition. The previous formulation ran the
+    * dictionary join once per rung with two serially-materialized persists
+    * between them — three jobs' worth of fixed overhead in the stage that
+    * capped the round-3 scaling headline (per-stage efficiency 0.43).
     */
   def rollupAll(spark: SparkSession, entities: DataFrame, dictionary: DataFrame,
       conf: KgConf = KgConf()): DataFrame = {
-    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val qn = queryNames(entities)
-    // `full` feeds three branches (overmatch counts, kept, and the fuzzy
-    // long-tail anti-join) — persist so the dictionary join runs once
-    val full = rollup(qn, dictionary).persist(MEMORY_AND_DISK)
-
-    // J11 back-off: entities matching too many accounts are re-queried with
-    // only their primary name (two-pass dataflow, no per-row loop).
-    val counts = full.groupBy(col("entity_id"))
-      .agg(count(lit(1)).as("n_cand"))
-    val overmatched = counts.filter(col("n_cand") > conf.backoffThreshold)
-      .select(col("entity_id"))
-
-    val primary = entities.filter(!col("dead"))
-      .select(col("id").as("entity_id"), primaryNameUdf(col("names")).as("qname"))
-      .filter(length(col("qname")) >= 3)
-      .join(broadcast(overmatched), Seq("entity_id"), "left_semi")
-    val narrowed = rollup(primary, dictionary)
-
-    val kept = full.join(broadcast(overmatched), Seq("entity_id"), "left_anti")
-    val exact = kept.unionByName(narrowed).persist(MEMORY_AND_DISK)
+    val tagged = taggedQueryNames(entities)
+    // broadcast the (tiny, entity-derived) query-name side so the corpus-
+    // derived dictionary never shuffles; at a scale where even the entity
+    // dim outgrows broadcast, this join would become the same bucketed
+    // co-located join featurize uses (conf.bucketedFeaturize pattern)
+    val rollup3 = broadcast(tagged)
+      .join(dictionary, tagged("qname") === dictionary("name"))
+      .groupBy(col("entity_id"), col("account_id"))
+      .agg(sum(col("freq")).as("f0"),
+        sum(when(col("in_r1"), col("freq"))).as("f1"),
+        sum(when(col("in_r2"), col("freq"))).as("f2"))
+    val w = Window.partitionBy(col("entity_id"))
+    val t = conf.backoffThreshold
+    val exact = rollup3
+      .withColumn("n0", count(lit(1)).over(w))
+      .withColumn("n1", count(col("f1")).over(w)) // non-null counts = rung-1 fan-out
+      .withColumn("rung",
+        when(col("n0") <= t, 0).when(col("n1") <= t, 1).otherwise(2))
+      .withColumn("freq",
+        when(col("rung") === 0, col("f0"))
+          .when(col("rung") === 1, col("f1"))
+          .otherwise(col("f2")))
+      .filter(col("freq").isNotNull)
+      .select(col("entity_id"), col("account_id"), col("freq"))
 
     // J10: MinHash-LSH blocking for the long tail — entities with ZERO
     // exact-name candidates get fuzzy candidates via character-shingle
     // banding against the dictionary's (distinct) names.
     if (!conf.fuzzyEnabled) exact else {
-      val withCand = exact.select(col("entity_id")).distinct()
-      val lonely = qn.join(withCand, Seq("entity_id"), "left_anti")
-      val dictNames = dictionary.select(col("name")).distinct()
-      val fuzzy = Blocking.fuzzyNameMatches(lonely, dictNames, conf.fuzzyThreshold)
-        .join(dictionary, Seq("name"))
-        .groupBy(col("entity_id"), col("account_id"))
-        .agg(sum(col("freq")).as("freq"))
-      exact.unionByName(fuzzy)
+      // lazy local checkpoints: `exact` is referenced by three consumers
+      // (the emptiness probe, the anti-join, the union) and `lonely` by
+      // two — checkpointing computes each once; ContextCleaner releases
+      // the blocks on GC, so no explicit unpersist bookkeeping is owed
+      // (the round-3 leak: rollupAll's persists were unreachable by
+      // Result.unpersist and accumulated across pipeline runs).
+      val exactLc = exact.localCheckpoint(false)
+      val withCand = exactLc.select(col("entity_id")).distinct()
+      val lonely = tagged.select(col("entity_id"), col("qname"))
+        .join(withCand, Seq("entity_id"), "left_anti")
+        .localCheckpoint(false)
+      // no lonely entities → skip the whole fuzzy branch (band explosion +
+      // per-band window count over the dictionary names) entirely
+      if (lonely.isEmpty) exactLc
+      else {
+        val dictNames = dictionary.select(col("name")).distinct()
+        val fuzzy = Blocking.fuzzyNameMatches(lonely, dictNames, conf.fuzzyThreshold)
+          .join(dictionary, Seq("name"))
+          .groupBy(col("entity_id"), col("account_id"))
+          .agg(sum(col("freq")).as("freq"))
+        exactLc.unionByName(fuzzy)
+      }
     }
   }
 

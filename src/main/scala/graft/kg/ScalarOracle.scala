@@ -189,8 +189,23 @@ object ScalarOracle {
           .toVector.distinct.sorted
         var cands = rollup(qnames)
         if (cands.size > conf.backoffThreshold) {
-          val primary = Text.swapLastFirst(Text.normalizeName(ent.names.head))
-          cands = if (primary.length >= 3) rollup(Seq(primary)) else Map.empty
+          // intermediate rung (AllNamesStrategy NAMES_THRESHOLD): top-3
+          // names by multiplicity over the swapped-normalized names∪labels,
+          // tie-break (count desc, name asc). An empty rung-1 result STOPS
+          // the ladder (FillFromIndex's `while result > 300` loop does not
+          // retry on empty), mirroring CandidateGen's window rung pick.
+          val top3 = (ent.names ++ ent.labels)
+            .map(n => Text.swapLastFirst(Text.normalizeName(n)))
+            .filter(_.length >= 3)
+            .groupBy(identity).toSeq
+            .map { case (n, g) => (n, g.size) }
+            .sortBy { case (n, c) => (-c, n) }
+            .take(3).map(_._1)
+          cands = rollup(top3.distinct)
+          if (cands.size > conf.backoffThreshold) {
+            val primary = Text.swapLastFirst(Text.normalizeName(ent.names.head))
+            cands = if (primary.length >= 3) rollup(Seq(primary)) else Map.empty
+          }
         }
         // J10 fuzzy long-tail (mirrors CandidateGen: band-key blocking +
         // exact shingle-Jaccard over DISTINCT matched dictionary names)
