@@ -1,0 +1,42 @@
+package graft.kg
+
+import graft.SparkTestBase
+import org.scalatest.funsuite.AnyFunSuite
+
+/** A long-lived session (Bench memo, Tune sweeps, the driver's Verify)
+  * runs many pipelines — cached frames must not accumulate. Explicitly
+  * persisted frames are released by Result.unpersist(); localCheckpoint
+  * blocks (rollupAll, textVectors) are released by the ContextCleaner once
+  * the frames are GC-unreachable. Round 3 leaked two persists per run
+  * (rollupAll's full/exact were unreachable by Result.unpersist).
+  */
+class CacheLifecycleSpec extends AnyFunSuite with SparkTestBase {
+
+  private def cachedCount: Int = {
+    // the cleaner runs asynchronously after GC — give it a bounded nudge
+    var n = spark.sparkContext.getPersistentRDDs.size
+    var tries = 0
+    while (n > 0 && tries < 40) {
+      System.gc()
+      Thread.sleep(250)
+      n = spark.sparkContext.getPersistentRDDs.size
+      tries += 1
+    }
+    n
+  }
+
+  test("N pipeline runs + unpersist leave no growing cache residue") {
+    def runOnce(): Unit = {
+      val r = Pipeline.computeForScale(spark, CorpusGen.Tiny)
+      r.triples.count()
+      r.unpersist()
+    }
+    runOnce()
+    val after1 = cachedCount
+    runOnce(); runOnce()
+    val after3 = cachedCount
+    assert(after3 <= after1 + 1,
+      s"cache residue grew across runs: $after1 → $after3 " +
+        s"(${spark.sparkContext.getPersistentRDDs.values.map(_.name).take(6)})")
+  }
+}
