@@ -130,10 +130,23 @@ object Scorer {
       bucketLocks.computeIfAbsent(prefix, _ => new Object).synchronized {
         resetTable(spark, ct)
         resetTable(spark, et)
-        cands.write.mode("overwrite").format("parquet")
-          .bucketBy(nBuckets, "entity_id").sortBy("entity_id").saveAsTable(ct)
-        ent.write.mode("overwrite").format("parquet")
-          .bucketBy(nBuckets, "entity_id").sortBy("entity_id").saveAsTable(et)
+        // the two table builds are independent jobs (candidate rollup vs
+        // the entity-dim feature chain) — submit them concurrently so
+        // their serial driver phases (planning, commit protocol) and
+        // ragged stage tails overlap instead of adding up
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.ExecutionContext.Implicits.global
+        import scala.concurrent.duration.Duration
+        val fc = Future {
+          cands.write.mode("overwrite").format("parquet")
+            .bucketBy(nBuckets, "entity_id").sortBy("entity_id").saveAsTable(ct)
+        }
+        val fe = Future {
+          ent.write.mode("overwrite").format("parquet")
+            .bucketBy(nBuckets, "entity_id").sortBy("entity_id").saveAsTable(et)
+        }
+        Await.result(fc, Duration.Inf)
+        Await.result(fe, Duration.Inf)
       }
       spark.table(ct).join(spark.table(et), Seq("entity_id"))
     }

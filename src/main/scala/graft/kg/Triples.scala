@@ -23,8 +23,17 @@ import org.apache.spark.sql.functions._
   *
   * Scale notes: output written pred-partitioned (8 predicates → 8 partitions,
   * each internally repartitioned by subj hash) so downstream per-predicate
-  * scans prune; dedup of patterns 2/7/8 is a distinct on already-shuffled
-  * keys.
+  * scans prune. Dedup is confined to the patterns that can actually
+  * duplicate: per-pair patterns (1, 3-6) are duplicate-free BY
+  * CONSTRUCTION (alignments hold one row per (entity, account), cand_iri
+  * embeds both keys, and foaf:account fires at most once per entity), so
+  * that branch — the bulk of the output — is a pure map over the scored
+  * pairs with NO shuffle; only the entity-level sameAs (duplicated ×topK
+  * under a global distinct) and the account-level identifier/name pair
+  * (duplicated ×fan-in) are deduplicated, each as a distinct over a
+  * NARROW key projection ≪ the triple set. The previous formulation ran
+  * one global distinct over every materialized triple string — the
+  * second-widest shuffle of the pipeline at 13M triples.
   */
 object Triples {
 
@@ -35,30 +44,35 @@ object Triples {
     concat(lit("kb:candidate/"), regexp_replace(entityId, lit("^kb:resource/"), lit("")),
       lit("/"), accountId.cast("string"))
 
+  private def t(subj: Column, pred: String, obj: Column): Column =
+    struct(subj.as("subj"), lit(pred).as("pred"), obj.cast("string").as("obj"))
+
   /** triples(subj, pred, obj) from scored alignments + representatives. */
   def materialize(alignments: DataFrame, reps: DataFrame): DataFrame = {
     val a = alignments
-      .join(reps, Seq("entity_id"), "left")
-      .withColumn("rep", coalesce(col("rep"), col("entity_id")))
       .withColumn("acc_iri", accountIri(col("screen_name")))
       .withColumn("cand_iri", candidateIri(col("entity_id"), col("account_id")))
 
-    def t(subj: Column, pred: String, obj: Column): Column =
-      struct(subj.as("subj"), lit(pred).as("pred"), obj.cast("string").as("obj"))
-
-    val patterns = array(
-      when(col("is_alignment"), t(col("entity_id"), "foaf:account", col("acc_iri"))),
-      t(col("entity_id"), "owl:sameAs", col("rep")),
-      t(col("entity_id"), "sl:candidate", col("cand_iri")),
-      t(col("cand_iri"), "sl:rank", col("rank")),
-      t(col("cand_iri"), "sl:confidence", format_string("%.6f", col("score"))),
-      t(col("cand_iri"), "sl:account", col("acc_iri")),
-      t(col("acc_iri"), "dcterms:identifier", col("account_id")),
-      t(col("acc_iri"), "foaf:accountName", col("screen_name")))
-
-    a.select(explode(patterns).as("t"))
+    val perPair = a.select(explode(array(
+        when(col("is_alignment"), t(col("entity_id"), "foaf:account", col("acc_iri"))),
+        t(col("entity_id"), "sl:candidate", col("cand_iri")),
+        t(col("cand_iri"), "sl:rank", col("rank")),
+        t(col("cand_iri"), "sl:confidence", format_string("%.6f", col("score"))),
+        t(col("cand_iri"), "sl:account", col("acc_iri")))).as("t"))
       .filter(col("t").isNotNull)
       .select(col("t.subj"), col("t.pred"), col("t.obj"))
-      .distinct()
+
+    val sameAs = alignments.select(col("entity_id")).distinct()
+      .join(reps, Seq("entity_id"), "left")
+      .select(col("entity_id").as("subj"), lit("owl:sameAs").as("pred"),
+        coalesce(col("rep"), col("entity_id")).as("obj"))
+
+    val acct = alignments.select(col("account_id"), col("screen_name")).distinct()
+      .select(explode(array(
+        t(accountIri(col("screen_name")), "dcterms:identifier", col("account_id")),
+        t(accountIri(col("screen_name")), "foaf:accountName", col("screen_name")))).as("t"))
+      .select(col("t.subj"), col("t.pred"), col("t.obj"))
+
+    perPair.unionByName(sameAs).unionByName(acct)
   }
 }
