@@ -29,21 +29,28 @@ object Features {
   /** Word tokens (shared scalar tokenizer — dims only, never per-pair). */
   val tokensUdf = udf((s: String) => Text.tokens(s))
 
-  /** hash-sorted (h = xxhash64(0, token), w) entry array + L2 norm from
-    * (key, token, tf, idf) rows. Tokens are carried as 64-bit hashes from
-    * here on: the entry arrays ride through the widest join of the
-    * pipeline (one copy per candidate PAIR), so 16-byte entries instead of
+  /** Word-token xxhash64 values of a text — tokens are hashed AT
+    * EXTRACTION (ops.Dedup.xxLane(0, t) = the Catalyst xxhash64
+    * expression, shared with the scalar oracle), so the whole text model —
+    * the corpus-wide (account, token) aggregate, the df/idf model, and
+    * the vector entries — shuffles and joins 8-byte longs, never token
+    * strings. Two distinct tokens colliding (~|vocab|²/2⁶⁴) would merge
+    * counts identically on both engines.
+    */
+  val tokenHashesUdf = udf((s: String) =>
+    Text.tokens(s).map(t => graft.ops.Dedup.xxLane(0, t)))
+
+  /** hash-sorted (h, w) entry array + L2 norm from (key, h, tf, idf)
+    * rows. The entry arrays ride through the widest join of the pipeline
+    * (one copy per candidate PAIR), so 16-byte entries instead of
     * string+double cut that memory traffic ~2.5×; the sorted array fixes
     * the fold order of every consumer (the scalar oracle sorts by the
-    * same hash — ops.Dedup.xxLane(0, token) mirrors the expression).
-    * A same-document token-hash collision would need ~|vocab|²/2⁶⁴ luck,
-    * and the oracle hashes identically so even then the two sides agree.
+    * same hash).
     */
   private def vectorize(tok: DataFrame, key: String): DataFrame =
     tok.withColumn("w", (lit(1.0) + log(col("tf").cast("double"))) * col("idf"))
       .groupBy(col(key))
-      .agg(sort_array(collect_list(struct(
-        xxhash64(lit(0), col("token")).as("h"), col("w")))).as("tw"))
+      .agg(sort_array(collect_list(struct(col("h"), col("w")))).as("tw"))
       .select(col(key),
         col("tw").as("tvec"),
         sqrt(aggregate(col("tw"), lit(0.0),
@@ -79,19 +86,24 @@ object Features {
     repos.select(explode(authorsUdf(col("content"))).as("screen_name"),
       col("content"))
 
-  /** Per-file (token, count) pairs — counting INSIDE the kernel shrinks
-    * the hash-aggregate input from one row per token occurrence to one row
-    * per distinct token per file (~40% fewer rows on this corpus, and the
-    * aggregate becomes a cheap long sum).
+  /** Per-file (token-hash, count) pairs — counting INSIDE the kernel
+    * shrinks the hash-aggregate input from one row per token occurrence to
+    * one row per distinct token per file (~40% fewer rows on this corpus),
+    * and hashing here means the aggregate's key is a long, not a string.
     */
   private val fileTokenCountsUdf = udf((content: String) => {
-    val m = scala.collection.mutable.LinkedHashMap.empty[String, Long]
-    Text.tokens(content).foreach(t => m.update(t, m.getOrElse(t, 0L) + 1L))
+    val m = scala.collection.mutable.LinkedHashMap.empty[Long, Long]
+    Text.tokens(content).foreach { t =>
+      val h = graft.ops.Dedup.xxLane(0, t)
+      m.update(h, m.getOrElse(h, 0L) + 1L)
+    }
     m.toSeq
   })
 
-  /** (account_id, token, tf) — flat per-account BOW counts (map-side
-    * combinable hash aggregate; only (account, token) partials shuffle).
+  /** (account_id, h, tf) — flat per-account BOW counts over token HASHES
+    * (map-side combinable hash aggregate; only (account, h) long partials
+    * shuffle — this is the widest feature-side shuffle of the pipeline,
+    * one row per distinct token per account).
     */
   def accountTokenCounts(repos: DataFrame, accounts: DataFrame): DataFrame = {
     val accs = broadcast(accounts.select(col("screenName").as("screen_name"),
@@ -99,7 +111,7 @@ object Features {
     authoredContent(repos)
       .join(accs, Seq("screen_name"))
       .select(col("account_id"), explode(fileTokenCountsUdf(col("content"))).as("tc"))
-      .groupBy(col("account_id"), col("tc._1").as("token"))
+      .groupBy(col("account_id"), col("tc._1").as("h"))
       .agg(sum(col("tc._2")).as("tf"))
   }
 
@@ -140,17 +152,17 @@ object Features {
     // IDF corpus size N as a 1-row frame cross-joined into the idf model —
     // no driver-side count() action; the whole model stays one lazy plan.
     val nDf = accTok.agg(countDistinct(col("account_id")).as("n_acc"))
-    val idf = accTok.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val idf = accTok.groupBy(col("h")).agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(nDf))
       .withColumn("idf",
         log((col("n_acc") + lit(1)).cast("double") / (col("df").cast("double") + lit(1.0))) + lit(1.0))
-      .select(col("token"), col("idf"))
-    val accVec = vectorize(accTok.join(broadcast(idf), Seq("token")), "account_id")
+      .select(col("h"), col("idf"))
+    val accVec = vectorize(accTok.join(broadcast(idf), Seq("h")), "account_id")
     val entTok = entities
-      .select(col("id").as("entity_id"), explode(tokensUdf(col("abstractText"))).as("token"))
-      .groupBy(col("entity_id"), col("token"))
+      .select(col("id").as("entity_id"), explode(tokenHashesUdf(col("abstractText"))).as("h"))
+      .groupBy(col("entity_id"), col("h"))
       .agg(count(lit(1)).as("tf"))
-      .join(broadcast(idf), Seq("token"), "left")
+      .join(broadcast(idf), Seq("h"), "left")
       .crossJoin(broadcast(nDf))
       // out-of-vocabulary idf (df = 0): same formula at df=0
       .withColumn("idf", coalesce(col("idf"),

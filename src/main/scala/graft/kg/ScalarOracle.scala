@@ -44,7 +44,11 @@ object ScalarOracle {
     // ---------------- corpus pass: dictionary + account text + social edges
     // (Mentions.extract + Dictionary.build + Features.textVectors/socialEdges)
     val dict = mutable.HashMap.empty[(String, Long), Long] // (name, accId) -> freq
-    val accTf = mutable.HashMap.empty[Long, mutable.HashMap[String, Long]]
+    // token → 64-bit hash shared with the Spark side (xxhash64(0, token));
+    // the text model is keyed by HASH end to end, mirroring Features'
+    // hash-at-extraction (collisions merge identically on both engines)
+    def th(t: String): Long = graft.ops.Dedup.xxLane(0, t)
+    val accTf = mutable.HashMap.empty[Long, mutable.HashMap[Long, Long]]
     val edgeFreq = mutable.HashMap.empty[(Long, Long), Long]
     var fi = 0L
     while (fi < scale.nFiles) {
@@ -64,7 +68,9 @@ object ScalarOracle {
       }
       authors.foreach { a =>
         val tf = accTf.getOrElseUpdate(a, mutable.HashMap.empty)
-        Text.tokens(content).foreach(t => tf(t) = tf.getOrElse(t, 0L) + 1L)
+        Text.tokens(content).foreach { t =>
+          val h = th(t); tf(h) = tf.getOrElse(h, 0L) + 1L
+        }
         mentionsInFile.foreach(m =>
           edgeFreq((a, m)) = edgeFreq.getOrElse((a, m), 0L) + 1L)
       }
@@ -73,21 +79,19 @@ object ScalarOracle {
 
     // ---------------- text model (Features.textVectors mirror)
     val nTexts = accTf.size
-    val dfMap = mutable.HashMap.empty[String, Long]
-    accTf.valuesIterator.foreach(_.keysIterator.foreach(t =>
-      dfMap(t) = dfMap.getOrElse(t, 0L) + 1L))
-    def idfOf(t: String): Double = dfMap.get(t) match {
+    val dfMap = mutable.HashMap.empty[Long, Long]
+    accTf.valuesIterator.foreach(_.keysIterator.foreach(h =>
+      dfMap(h) = dfMap.getOrElse(h, 0L) + 1L))
+    def idfOf(h: Long): Double = dfMap.get(h) match {
       case Some(df) => math.log((nTexts + 1).toDouble / (df.toDouble + 1.0)) + 1.0
       case None => math.log((nTexts + 1).toDouble / 1.0) + 1.0
     }
-    // token → 64-bit hash shared with the Spark side (xxhash64(0, token))
-    def th(t: String): Long = graft.ops.Dedup.xxLane(0, t)
     // account vectors: hash→weight map + norm (hash-sorted fold, matching
     // sort_array over (h, w) structs)
     val accVec = mutable.HashMap.empty[Long, (Map[Long, Double], Double)]
     accTf.foreach { case (acc, tf) =>
-      val entries = tf.toSeq.map { case (t, n) =>
-        (th(t), (1.0 + math.log(n.toDouble)) * idfOf(t))
+      val entries = tf.toSeq.map { case (h, n) =>
+        (h, (1.0 + math.log(n.toDouble)) * idfOf(h))
       }.sortBy(_._1)
       var norm = 0.0
       entries.foreach { case (_, w) => norm += w * w }
@@ -95,10 +99,12 @@ object ScalarOracle {
     }
     // entity vectors: hash-SORTED entry array (fold order of the Spark dot)
     def entityVector(abstractText: String): (Seq[(Long, Double)], Double) = {
-      val tf = mutable.HashMap.empty[String, Long]
-      Text.tokens(abstractText).foreach(t => tf(t) = tf.getOrElse(t, 0L) + 1L)
-      val entries = tf.toSeq.map { case (t, n) =>
-        (th(t), (1.0 + math.log(n.toDouble)) * idfOf(t))
+      val tf = mutable.HashMap.empty[Long, Long]
+      Text.tokens(abstractText).foreach { t =>
+        val h = th(t); tf(h) = tf.getOrElse(h, 0L) + 1L
+      }
+      val entries = tf.toSeq.map { case (h, n) =>
+        (h, (1.0 + math.log(n.toDouble)) * idfOf(h))
       }.sortBy(_._1)
       var norm = 0.0
       entries.foreach { case (_, w) => norm += w * w }

@@ -60,10 +60,15 @@ class FeaturesSpec extends AnyFunSuite with SparkTestBase {
     val scale = CorpusGen.Tiny
     val repos = CorpusGen.repos(spark, scale).toDF()
     val accounts = CorpusGen.accounts(spark, scale).toDF()
+    // the flat aggregate is keyed by token HASH (hash-at-extraction);
+    // hashing the typed string-keyed bow and merging must reproduce it
     val flat = Features.accountTokenCounts(repos, accounts)
-      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
     val typed = Features.accountBow(repos, accounts)
-      .collect().flatMap { case (id, bow) => bow.map { case (t, n) => (id, t) -> n } }
+      .collect().flatMap { case (id, bow) =>
+        bow.toSeq
+          .groupMapReduce { case (t, _) => (id, graft.ops.Dedup.xxLane(0, t)) }(_._2)(_ + _)
+      }
       .toMap
     assert(typed == flat)
   }
