@@ -63,7 +63,19 @@ object Bench {
     // triples_per_sec protocol (keep in sync with BENCH/BASELINE.md):
     // dedicated full-pipeline run incl. corpus synthesis, nothing reused,
     // warm JVM, at KgQueries.scaleFor(sf) files, single run.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rows":$rows,"errors":$errs,"n_errors":${errors.size},"sf":"$sfDir","triples_per_sec":$triplesPerSec,"triples_protocol":"dedicated full pipeline incl. synthesis at scaleFor(sf), nothing reused, warm JVM, single run, local[$cpus]"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rows":$rows,"errors":$errs,"n_errors":${errors.size},"sf":"$sfDir","triples_per_sec":$triplesPerSec,"triples_protocol":"dedicated full pipeline incl. synthesis at scaleFor(sf), nothing reused, warm JVM, single run, local[$cpus]"}"""
+    println(line)
+    // the driver's BENCH_r{N}.json keeps only a truncated tail of stdout,
+    // which loses the per-query map — persist the full sweep to a file so
+    // per-query regressions stay auditable round over round
+    val sweepOut = sys.env.getOrElse("SPARK_GRAFT_SWEEP_OUT", "BENCH/sweep_latest.json")
+    try {
+      val p = java.nio.file.Paths.get(sweepOut)
+      if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p, (line + "\n").getBytes("UTF-8"))
+    } catch { case e: Exception =>
+      System.err.println(s"[bench] sweep file write failed: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

@@ -29,14 +29,38 @@ object KgQueries {
     else CorpusGen.Tiny
 
   // Keyed by the session OBJECT so a fresh session never sees a Result
-  // bound to a stopped one. Weak keying alone can NOT reclaim entries —
-  // the Result's DataFrames strongly reference their SparkSession (the
-  // key) through their QueryExecution, so the map is evicted EXPLICITLY:
-  // a SparkListener removes the session's entry (and unpersists its
-  // frames) when the application ends.
+  // bound to a stopped one. Weak keying can NOT reclaim entries — the
+  // Result's DataFrames strongly reference their SparkSession (the key)
+  // through their QueryExecution — so the map is bounded EXPLICITLY:
+  //   - access-order LRU capped at `MaxSessions`: an app that churns
+  //     newSession() per sweep (the Tune/Scaling pattern) evicts (and
+  //     unpersists) the eldest session's entry instead of accumulating
+  //     until application end;
+  //   - ONE shared listener per SparkContext (not one per session) drains
+  //     the whole memo at application end;
+  //   - `evict(session)` releases a session's entry the moment a caller is
+  //     done with it.
+  private val MaxSessions = 4
+  private type SessionMemo =
+    scala.collection.concurrent.TrieMap[String, Pipeline.Result]
   private val memo =
-    new java.util.WeakHashMap[SparkSession,
-      scala.collection.concurrent.TrieMap[String, Pipeline.Result]]()
+    new java.util.LinkedHashMap[SparkSession, SessionMemo](8, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[SparkSession, SessionMemo]): Boolean =
+        if (size > MaxSessions) { e.getValue.values.foreach(_.unpersist()); true }
+        else false
+    }
+  private val drainRegistered =
+    new java.util.WeakHashMap[org.apache.spark.SparkContext, java.lang.Boolean]()
+
+  /** Number of sessions currently memoized (spec surface for the bound). */
+  def memoSessionCount: Int = memo.synchronized(memo.size)
+
+  /** Drop (and unpersist) a session's memoized pipeline results. */
+  def evict(s: SparkSession): Unit = memo.synchronized {
+    val gone = memo.remove(s)
+    if (gone != null) gone.values.foreach(_.unpersist())
+  }
 
   /** One pipeline run per (session, scale) — all kg_* queries share it. */
   def result(s: SparkSession, dir: String): Pipeline.Result = {
@@ -45,15 +69,20 @@ object KgQueries {
       if (m == null) {
         m = scala.collection.concurrent.TrieMap.empty[String, Pipeline.Result]
         memo.put(s, m)
-        s.sparkContext.addSparkListener(
-          new org.apache.spark.scheduler.SparkListener {
-            override def onApplicationEnd(
-                end: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
-              memo.synchronized {
-                val gone = memo.remove(s)
-                if (gone != null) gone.values.foreach(_.unpersist())
-              }
-          })
+        val sc = s.sparkContext
+        if (drainRegistered.get(sc) == null) {
+          drainRegistered.put(sc, java.lang.Boolean.TRUE)
+          sc.addSparkListener(
+            new org.apache.spark.scheduler.SparkListener {
+              override def onApplicationEnd(
+                  end: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+                memo.synchronized {
+                  val it = memo.values.iterator
+                  while (it.hasNext) { it.next().values.foreach(_.unpersist()); }
+                  memo.clear()
+                }
+            })
+        }
       }
       m
     }

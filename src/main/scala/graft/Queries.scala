@@ -448,14 +448,23 @@ object Queries {
       |FROM nation ORDER BY idx""".stripMargin
 
   /** A10: dense zero-fill against a generated id range — one lazy plan:
-    * the id domain comes from sequence+explode over the 1-row max aggregate
-    * (no driver-side collect; the explode task count equals the key-domain
-    * size, which is exactly the output size of a dense zero-fill anyway).
+    * the id domain comes from the 1-row max aggregate (no driver-side
+    * collect), generated in two levels so it stays DISTRIBUTED: a chunk
+    * index (≤ max/64k elements, the only array that lives in one task) is
+    * exploded, repartitioned, and each chunk then generates its ≤64k ids in
+    * its own task. A single sequence(0, max) would materialize the whole
+    * 8-byte-per-id array inside one task and hit Spark's ~2.1B-element
+    * sequence cap — an OOM/serial regression for dense id domains.
     */
   val a10ZeroFill: Q = (s, dir) => {
     val ev = t(s, dir, "events")
+    val chunk = 65536L
     val ids = ev.agg(max(col("user_id")).as("mx"))
-      .select(explode(sequence(lit(0L), col("mx"))).as("user_id"))
+      .select(explode(sequence(lit(0L), floor(col("mx") / chunk).cast("long")))
+        .as("ck"), col("mx"))
+      .repartition(col("ck"))
+      .select(explode(sequence(col("ck") * chunk,
+        least(col("ck") * chunk + lit(chunk - 1), col("mx")))).as("user_id"))
     val counts = ev.groupBy(col("user_id")).agg(count(lit(1)).as("n"))
     ids.join(counts, Seq("user_id"), "left")
       .select(col("user_id"), coalesce(col("n"), lit(0L)).as("n"))

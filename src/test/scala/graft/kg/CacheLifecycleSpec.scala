@@ -39,4 +39,20 @@ class CacheLifecycleSpec extends AnyFunSuite with SparkTestBase {
       s"cache residue grew across runs: $after1 → $after3 " +
         s"(${spark.sparkContext.getPersistentRDDs.values.map(_.name).take(6)})")
   }
+
+  test("kg memo stays bounded under newSession churn") {
+    // an app that churns newSession() per sweep (Tune/Scaling pattern) must
+    // not pin every discarded session's pipeline Result until application
+    // end — the LRU cap evicts (and unpersists) the eldest entries
+    val kept = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.SparkSession]
+    (1 to 6).foreach { _ =>
+      val s2 = spark.newSession()
+      kept += s2
+      graft.KgQueries.result(s2, "/tmp/churn-tiny").triples.count()
+    }
+    assert(graft.KgQueries.memoSessionCount <= 4,
+      s"memo grew unbounded: ${graft.KgQueries.memoSessionCount} sessions")
+    kept.foreach(graft.KgQueries.evict)
+    assert(graft.KgQueries.memoSessionCount == 0)
+  }
 }

@@ -69,7 +69,6 @@ def evaluate(w, b):
     bs, ga, pa = s[best_i], gold_of[best_i], acc[best_i]
     out = []
     for ms, mg in GRID:
-        picked = (bs - second > mg + 1e-12 * 0) & (bs > ms)
         # strict > like the Column exprs (no epsilon)
         picked = (bs - second > mg) & (bs > ms)
         tp = int(((ga == pa) & picked).sum())
