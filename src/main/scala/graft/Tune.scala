@@ -39,11 +39,14 @@ object Tune {
       CorpusGen.repos(spark, scale).toDF(),
       CorpusGen.accountEmbeddings(spark, scale).toDF(),
       CorpusGen.entityEmbeddings(spark, scale).toDF())
+    // scale-suffixed dump dirs so a Small fit can cross-validate on a Tiny
+    // dump without manual renames (tools/tune_weights.py takes the suffix)
     feats.join(gold.select(col("entity").as("entity_id"),
         col("accountId").as("gold_account")), Seq("entity_id"), "left")
-      .coalesce(1).write.mode("overwrite").parquet("/tmp/tune_features")
-    gold.coalesce(1).write.mode("overwrite").parquet("/tmp/tune_gold")
-    println("[tune] features dumped to /tmp/tune_features (+ /tmp/tune_gold)")
+      .coalesce(1).write.mode("overwrite").parquet(s"/tmp/tune_features_${scale.name}")
+    gold.coalesce(1).write.mode("overwrite").parquet(s"/tmp/tune_gold_${scale.name}")
+    println(s"[tune] features dumped to /tmp/tune_features_${scale.name}" +
+      s" (+ /tmp/tune_gold_${scale.name})")
     spark.stop()
   }
 }

@@ -41,6 +41,15 @@ final case class KgConf(
     wHomeMatch: Double = 0.35,
     wHomeExists: Double = -0.61,
     wHomeUnique: Double = 0.2137,
+    // F9 activity recency (ActivityScorer.java:14-33: days since last
+    // status, capped at MAX_DAYS=100, missing status = 100) and F11
+    // return order (ReturnOrderScorer.java:18-21: the candidate's 0-based
+    // position in the returned candidate list IS a model input)
+    wRecency: Double = 0.0,
+    wOrder: Double = 0.0,
+    // deterministic "now" for the recency feature (the reference uses wall
+    // clock, ActivityScorer.java:17 — non-reproducible by construction)
+    nowMs: Long = CorpusGen.NowMs,
     bias: Double = -12.8576,
     // scale switch for the featurize pair join: broadcast the entity dim
     // (fastest while the dim fits executor memory) vs bucketed tables on

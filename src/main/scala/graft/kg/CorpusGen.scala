@@ -276,6 +276,31 @@ object CorpusGen {
     }
   }
 
+  /** "Now" of the synthesized world (2026-01-01T00:00:00Z) — F9 activity
+    * recency is days-before-this-instant; a parameter, not wall clock
+    * (ActivityScorer.java:17 `new Date()` made the reference's feature
+    * non-reproducible — here determinism is a design requirement).
+    */
+  val NowMs: Long = 1767225600000L
+
+  /** Epoch ms of the account's latest post (0 = never posted, 5% of
+    * accounts). Planted staleness: true accounts post recently
+    * (quadratic pull toward "today"), decoys/noise spread flat over a
+    * year+ — the activity signal ActivityScorer.java:14-33 keys on.
+    */
+  def accountLastStatusAt(idx: Long, scale: Scale): Long = {
+    if (pick(55L, idx, 100) < 5) 0L
+    else {
+      val u = unit(54L, idx)
+      val days = accountKindOf(idx, scale) match {
+        case "true" => 150.0 * u * u
+        case "decoy" => 30.0 + 300.0 * u
+        case _ => 420.0 * u
+      }
+      NowMs - math.round(days * 86400000.0)
+    }
+  }
+
   def accountRow(idx: Long, scale: Scale): Account = {
     val base = unit(22L, idx)
     // long-tailed popularity; celebrity account idx==0 is boosted (skew case)
@@ -292,7 +317,8 @@ object CorpusGen {
       (followers * 0.01 * unit(24L, idx)).toInt,
       1 + (3000 * unit(25L, idx)).toInt,
       isTrue && unit(26L, idx) < 0.3,
-      accountUrl(idx, scale))
+      accountUrl(idx, scale),
+      accountLastStatusAt(idx, scale))
   }
 
   def nAccounts(scale: Scale): Long = 2L * scale.nEntities + scale.nNoiseAccounts

@@ -247,7 +247,7 @@ object ScalarOracle {
           .map(graft.ops.Dedup.xxLane(0, _)).distinct.toSet
         val homepage = ent.homepage
         val hpCount = if (homepage.isEmpty) 0L else urlCount.getOrElse(homepage, 0L)
-        val scored = topK.map { case (acc, freq) =>
+        val scored = topK.zipWithIndex.map { case ((acc, freq), cidx) =>
           val a = accById(acc)
           val nameSim = Text.nameSimilarity(ent.names, a.name)
           val tCos = textCos(eEntries, eNorm, acc)
@@ -279,6 +279,14 @@ object ScalarOracle {
             conf.wHomeMatch * homeMatch +
             conf.wHomeExists * homeExists +
             conf.wHomeUnique * homeUnique +
+            // F9: continuous capped days-since-last-status (mirror of the
+            // least(.. / 86400000.0, 100.0) Column, missing → 100.0)
+            conf.wRecency * (if (a.lastStatusAt <= 0) 100.0 else {
+              val d = (conf.nowMs - a.lastStatusAt).toDouble / 86400000.0
+              if (d < 100.0) d else 100.0
+            }) +
+            // F11: 0-based candidate order in the (freq desc, acc asc) list
+            conf.wOrder * cidx.toDouble +
             conf.bias
           val score = 1.0 / (1.0 + math.exp(-z))
           (acc, a.screenName, freq, score)

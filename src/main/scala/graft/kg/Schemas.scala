@@ -45,7 +45,9 @@ final case class Account(
     listed: Int,
     statuses: Int,
     verified: Boolean,
-    url: String) // profile homepage, "" = none (twitter4j User.getURL analogue)
+    url: String, // profile homepage, "" = none (twitter4j User.getURL analogue)
+    lastStatusAt: Long) // epoch ms of the latest post; 0 = never posted
+                        // (User.getStatus() == null, ActivityScorer.java:24-26)
 
 /** Gold standard row — analogue of gold.csv
   * (/root/reference/alignments/.../evaluation/Dataset.java:61-78).

@@ -100,69 +100,105 @@ object Scorer {
     * tables would live once per pipeline run and feed every downstream
     * consumer with co-located reads.
     */
-  /** Drop a managed table AND its warehouse dir — a fresh session's
-    * in-memory catalog doesn't know about a previous JVM's table location,
-    * and saveAsTable refuses a non-empty leftover dir.
-    */
-  private def resetTable(spark: SparkSession, name: String): Unit = {
-    spark.sql(s"DROP TABLE IF EXISTS `$name`")
-    val wh = spark.conf.get("spark.sql.warehouse.dir")
-    val path = new org.apache.hadoop.fs.Path(wh, name.toLowerCase)
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(path)) fs.delete(path, true)
-  }
-
-  /** Serializes the drop→rewrite window per table prefix within this JVM:
-    * resetTable's DROP + fs.delete followed by saveAsTable is not atomic,
-    * so two concurrent same-prefix runs (e.g. parallel Scaling sessions
-    * sharing a warehouse) could race a reader into the deleted-but-not-yet-
-    * rewritten window. Same-scale rewrites are byte-identical (deterministic
-    * synthesis), so serializing the writers is sufficient.
+  /** Serializes writers per table prefix within this JVM (keeps the
+    * generation numbering race-free in-process; cross-JVM collisions are
+    * handled by the per-run uuid tag in the table name).
     */
   private val bucketLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
+  private val GenDirRe = """.*_g(\d+)_[0-9a-f]{8}_(candidates|entity_dim)""".r
+
+  /** Bucketed pair join with GENERATION-UNIQUE table names.
+    *
+    * The old drop→rewrite on a fixed name had an unfixable reader race:
+    * a concurrent same-prefix run (parallel Scaling sessions sharing one
+    * warehouse — possibly other JVMs) deletes the files a straggling
+    * reader's lazily-planned scan still references, and even a temp-write +
+    * rename swap moves the files out from under it. Instead every run
+    * writes fresh `${prefix}_g<N>_<uuid8>_{candidates,entity_dim}` tables
+    * (no reset, no shared-name window at all) and then retires generations
+    * ≤ N-2: the immediately-previous generation survives one full rewrite
+    * cycle, so a reader that resolved before this run began keeps its
+    * files. Disk stays bounded at ≤2 generations per prefix.
+    */
   def bucketedEntJoin(spark: SparkSession, nBuckets: Int,
       prefix: String = "graft_feat"): (DataFrame, DataFrame) => DataFrame =
     (cands, ent) => {
-      val ct = s"${prefix}_candidates"
-      val et = s"${prefix}_entity_dim"
-      bucketLocks.computeIfAbsent(prefix, _ => new Object).synchronized {
-        resetTable(spark, ct)
-        resetTable(spark, et)
-        // the two table builds are independent jobs (candidate rollup vs
-        // the entity-dim feature chain) — submit them concurrently so
-        // their serial driver phases (planning, commit protocol) and
-        // ragged stage tails overlap instead of adding up
-        import scala.concurrent.{Await, Future}
-        import scala.concurrent.ExecutionContext.Implicits.global
-        import scala.concurrent.duration.Duration
-        val fc = Future {
-          cands.write.mode("overwrite").format("parquet")
-            .bucketBy(nBuckets, "entity_id").sortBy("entity_id").saveAsTable(ct)
+      val (ct, et) = bucketLocks.computeIfAbsent(prefix, _ => new Object)
+        .synchronized {
+          val hconf = spark.sparkContext.hadoopConfiguration
+          val wh = new org.apache.hadoop.fs.Path(
+            spark.conf.get("spark.sql.warehouse.dir"))
+          val fs = wh.getFileSystem(hconf)
+          val gens: Seq[(Long, String)] =
+            if (!fs.exists(wh)) Seq.empty
+            else fs.listStatus(wh).toSeq.map(_.getPath.getName).collect {
+              case n @ GenDirRe(g, _) if n.startsWith(s"${prefix}_g") =>
+                (g.toLong, n)
+            }
+          val gen = gens.map(_._1).foldLeft(0L)(math.max) + 1
+          val tag = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+          val ct = s"${prefix}_g${gen}_${tag}_candidates"
+          val et = s"${prefix}_g${gen}_${tag}_entity_dim"
+          // the two table builds are independent jobs (candidate rollup vs
+          // the entity-dim feature chain) — submit them concurrently so
+          // their serial driver phases (planning, commit protocol) and
+          // ragged stage tails overlap instead of adding up
+          import scala.concurrent.{Await, Future}
+          import scala.concurrent.ExecutionContext.Implicits.global
+          import scala.concurrent.duration.Duration
+          val fc = Future {
+            cands.write.format("parquet")
+              .bucketBy(nBuckets, "entity_id").sortBy("entity_id").saveAsTable(ct)
+          }
+          val fe = Future {
+            ent.write.format("parquet")
+              .bucketBy(nBuckets, "entity_id").sortBy("entity_id").saveAsTable(et)
+          }
+          try { Await.result(fc, Duration.Inf); Await.result(fe, Duration.Inf) }
+          catch { case e: Throwable =>
+            // don't leave the sibling write racing outside the lock
+            Await.ready(fc, Duration.Inf); Await.ready(fe, Duration.Inf)
+            throw e
+          }
+          // retire generations old enough that no reader can still hold
+          // them (≤ gen-2 — the previous generation survives this cycle);
+          // DROP covers tables this JVM's shared catalog knows, fs.delete
+          // covers another JVM's leftovers the catalog never heard of
+          gens.filter(_._1 <= gen - 2).foreach { case (_, dir) =>
+            spark.sql(s"DROP TABLE IF EXISTS `$dir`")
+            val p = new org.apache.hadoop.fs.Path(wh, dir)
+            if (fs.exists(p)) fs.delete(p, true)
+          }
+          (ct, et)
         }
-        val fe = Future {
-          ent.write.mode("overwrite").format("parquet")
-            .bucketBy(nBuckets, "entity_id").sortBy("entity_id").saveAsTable(et)
-        }
-        Await.result(fc, Duration.Inf)
-        Await.result(fe, Duration.Inf)
-      }
       spark.table(ct).join(spark.table(et), Seq("entity_id"))
     }
 
   def featurize(candidates: DataFrame, entities: DataFrame, accounts: DataFrame,
       repos: DataFrame, accountEmbeddings: DataFrame,
       entityEmbeddings: DataFrame,
-      entJoin: (DataFrame, DataFrame) => DataFrame = broadcastEntJoin): DataFrame = {
+      entJoin: (DataFrame, DataFrame) => DataFrame = broadcastEntJoin,
+      nowMs: Long = CorpusGen.NowMs): DataFrame = {
     val (accVec, entVec) = Features.textVectors(repos, accounts, entities)
     val sgVec = Features.sgVectors(
       Features.socialEdges(repos, accounts), accountEmbeddings)
 
     // F12 homepage alignment lookup (HomepageAlignmentsScorer.java:28-35):
-    // url → number of accounts carrying it. Tiny dim (distinct urls) —
-    // broadcast onto the entity side so the pair stage sees plain columns.
+    // url → number of accounts carrying it. Only urls that equal some
+    // entity homepage can ever feed a home_* feature (hp_count attaches to
+    // entities by homepage equality), so restrict FIRST with a semi-join
+    // against the entity homepage set: the grouped/broadcast frame is then
+    // O(|entity homepages ∩ account urls|), not O(|accounts|) — the
+    // accounts dim grows with the corpus, the intersection doesn't.
+    // Left-semi keeps count semantics identical (it filters urls, never
+    // multiplies rows); coalesce(...,0) below covers filtered-out urls
+    // exactly like never-matching ones.
+    val entHomepages = entities.filter(col("homepage") =!= "")
+      .select(col("homepage").as("url")).distinct()
     val hpCounts = accounts.filter(col("url") =!= "")
+      .join(entHomepages, Seq("url"), "left_semi")
       .groupBy(col("url")).agg(count(lit(1)).as("hp_count"))
       .withColumnRenamed("url", "homepage")
 
@@ -181,7 +217,7 @@ object Scorer {
         normNameUdf(col("name")).as("account_name_norm"),
         distinctTokensUdf(col("description")).as("desc_tok"),
         col("followers"), col("friends"), col("listed"), col("statuses"),
-        col("verified"), col("url"))
+        col("verified"), col("url"), col("lastStatusAt"))
       .join(accVec.withColumnRenamed("tvec", "a_tvec")
         .withColumnRenamed("tnorm", "a_tnorm"), Seq("account_id"), "left")
       .join(sgVec, Seq("account_id"), "left")
@@ -234,7 +270,18 @@ object Scorer {
       when(col("homepage") =!= "" && col("hp_count") >= 1, 1.0)
         .otherwise(0.0).as("home_exists"),
       when(col("homepage") =!= "" && col("url") === col("homepage") &&
-        col("hp_count") === 1, 1.0).otherwise(0.0).as("home_unique"))
+        col("hp_count") === 1, 1.0).otherwise(0.0).as("home_unique"),
+      // F9 activity recency (ActivityScorer.java:14-33): continuous days
+      // since the last status, capped at MAX_DAYS=100; a missing status
+      // (lastStatusAt=0) scores the cap. `nowMs` is a parameter for
+      // determinism (the reference reads wall clock)
+      when(col("lastStatusAt") <= 0, lit(100.0))
+        .otherwise(least(
+          (lit(nowMs) - col("lastStatusAt")).cast("double") / lit(86400000.0),
+          lit(100.0))).as("recency_days"),
+      // F11 return order (ReturnOrderScorer.java:18-21): the candidate's
+      // 0-based position in the (freq desc, account_id asc) candidate list
+      (col("rank") - lit(1)).cast("double").as("order_f"))
   }
 
   /** alignments(entity_id, account_id, screen_name, freq, score, rank,
@@ -249,7 +296,7 @@ object Scorer {
           conf.featurizePrefix)
       else broadcastEntJoin
     val feats = featurize(candidates, entities, accounts, repos,
-      accountEmbeddings, entityEmbeddings, entJoin)
+      accountEmbeddings, entityEmbeddings, entJoin, conf.nowMs)
     val z =
       lit(conf.wName) * col("name_sim") +
       lit(conf.wText) * col("text_cos") +
@@ -265,6 +312,8 @@ object Scorer {
       lit(conf.wHomeMatch) * col("home_match") +
       lit(conf.wHomeExists) * col("home_exists") +
       lit(conf.wHomeUnique) * col("home_unique") +
+      lit(conf.wRecency) * col("recency_days") +
+      lit(conf.wOrder) * col("order_f") +
       lit(conf.bias)
     val scored = feats.withColumn("score", lit(1.0) / (lit(1.0) + exp(-z)))
 

@@ -77,6 +77,87 @@ class BucketingSpec extends AnyFunSuite with SparkTestBase {
     } finally spark.conf.set("spark.sql.adaptive.enabled", wasAqe)
   }
 
+  test("interleaved sessions on one warehouse prefix never race a reader") {
+    // Two pipeline runs sharing a warehouse prefix (the parallel-Scaling
+    // layout): the second run's table build must not delete files a
+    // straggling reader from the first run still references. Generation-
+    // unique names + keep-last-one retirement guarantee it; the old
+    // drop→rewrite-in-place made this sequence FileNotFound.
+    import spark.implicits._
+    val s1 = spark.newSession()
+    val s2 = spark.newSession()
+    val prefix = "graft_swap_spec"
+    def frames(n: Int) = {
+      val cands = (1 to n).map(i => (s"e$i", i.toLong, 1L, 1))
+        .toDF("entity_id", "account_id", "freq", "rank")
+      val dim = (1 to n).map(i => (s"e$i", s"k$i")).toDF("entity_id", "kind")
+      (cands, dim)
+    }
+    val (c1, d1) = frames(5)
+    val (c2, d2) = frames(7)
+    val j1 = Scorer.bucketedEntJoin(s1, 4, prefix)(c1, d1) // gen 1
+    // a second session rewrites the prefix BEFORE j1 is ever consumed
+    val j2 = Scorer.bucketedEntJoin(s2, 4, prefix)(c2, d2) // gen 2 keeps gen 1
+    assert(j1.count() == 5, "stale first-generation reader lost its files")
+    assert(j2.count() == 7)
+    // a third rewrite retires gen 1 but must keep gen 2 readable
+    val j3 = Scorer.bucketedEntJoin(s1, 4, prefix)(c1, d1) // gen 3 drops gen 1
+    assert(j3.count() == 5 && j2.count() == 7)
+    val wh = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"))
+    val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dirs = fs.listStatus(wh).map(_.getPath.getName)
+      .filter(_.startsWith(s"${prefix}_g")).toSeq
+    assert(!dirs.exists(_.startsWith(s"${prefix}_g1_")),
+      s"generation 1 not retired: $dirs")
+    assert(dirs.count(_.endsWith("_candidates")) == 2,
+      s"disk not bounded at 2 generations: $dirs")
+  }
+
+  test("hp lookup is restricted to the entity homepage set (bounded broadcast)") {
+    // F12's url→count lookup is broadcast onto the entity dim. Distinct
+    // account urls grow with the corpus; entity homepages don't. The
+    // aggregate must therefore consume a semi-join-restricted url stream —
+    // O(|entity homepages ∩ account urls|) — or the broadcast becomes the
+    // unbounded-dim mistake at 100×.
+    import spark.implicits._
+    val entities = Seq(
+      Entity("e1", Seq("Alpha"), Seq(), "org", dead = false, "alpha things", "h1"),
+      Entity("e2", Seq("Beta"), Seq(), "org", dead = false, "beta things", "")).toDF()
+    val accounts = Seq(
+      Account(1L, "a1", "Alpha", "", 1, 1, 0, 1, verified = false, "h1", 0L),
+      Account(2L, "a2", "AlphaFan", "", 1, 1, 0, 1, verified = false, "h1", 0L),
+      Account(3L, "a3", "Pop", "", 1, 1, 0, 1, verified = false, "pop", 0L),
+      Account(4L, "a4", "Pop2", "", 1, 1, 0, 1, verified = false, "pop", 0L),
+      Account(5L, "a5", "Beta", "", 1, 1, 0, 1, verified = false, "", 0L)).toDF()
+    val cands = Seq(("e1", 1L, 3L, 1), ("e1", 3L, 2L, 2), ("e2", 5L, 1L, 1))
+      .toDF("entity_id", "account_id", "freq", "rank")
+    val repos = Seq.empty[RepoFile].toDF()
+    val accEmb = Seq.empty[(Long, Seq[Float])].toDF("accountId", "vec")
+    val entEmb = Seq.empty[(String, Seq[Float])].toDF("entityId", "vec")
+    val feats = Scorer.featurize(cands, entities, accounts, repos, accEmb, entEmb)
+    assert(feats.queryExecution.optimizedPlan.toString.contains("LeftSemi"),
+      "url→count aggregate is not semi-join-restricted to entity homepages")
+    val byKey = feats.collect()
+      .map(r => (r.getAs[String]("entity_id"), r.getAs[Long]("account_id")) -> r)
+      .toMap
+    // e1's homepage h1 is carried by 2 accounts → match+exists, not unique
+    val r11 = byKey(("e1", 1L))
+    assert(r11.getAs[Double]("home_match") == 1.0 &&
+      r11.getAs[Double]("home_exists") == 1.0 &&
+      r11.getAs[Double]("home_unique") == 0.0)
+    // a3's url "pop" is no entity's homepage → restriction drops it before
+    // the aggregate, and the features see a plain miss
+    val r13 = byKey(("e1", 3L))
+    assert(r13.getAs[Double]("home_match") == 0.0 &&
+      r13.getAs[Double]("home_exists") == 1.0)
+    // e2 has no homepage at all → every home_* is 0
+    val r25 = byKey(("e2", 5L))
+    assert(r25.getAs[Double]("home_match") == 0.0 &&
+      r25.getAs[Double]("home_exists") == 0.0 &&
+      r25.getAs[Double]("home_unique") == 0.0)
+  }
+
   test("bucketed featurize output is identical to the broadcast path") {
     val scale = CorpusGen.Tiny
     val repos = CorpusGen.repos(spark, scale).toDF()

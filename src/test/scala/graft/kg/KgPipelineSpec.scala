@@ -31,6 +31,25 @@ class KgPipelineSpec extends AnyFunSuite with SparkTestBase {
         s"(|got|=${got.size} |want|=${want.size})")
   }
 
+  test("F9/F11 live wiring: nonzero recency/order weights stay oracle-exact") {
+    // The tuned defaults keep wRecency = wOrder = 0 (the measured optimum —
+    // see COVERAGE.md F9/F11 A/B), so the default-conf parity test above
+    // cannot distinguish a wired feature from a dropped column. This conf
+    // forces both weights through the score and asserts the Spark pipeline
+    // still matches the scalar oracle's mirrored arithmetic bit-exactly.
+    import spark.implicits._
+    val conf = KgConf(wRecency = -0.004, wOrder = -0.1)
+    val got = Pipeline.triplesForScale(spark, CorpusGen.Tiny, conf)
+      .as[Triple].collect().toSet
+    val (want, _) = ScalarOracle.run(CorpusGen.Tiny, conf)
+    assert(got == want,
+      s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+    // and the weights are not a no-op: the triple set must differ from the
+    // default-conf run (scores move, so sl:confidence objects move)
+    val default = sparkTriples(CorpusGen.Tiny)
+    assert(got != default, "nonzero wRecency/wOrder left every triple unchanged")
+  }
+
   test("small scale: P/R >= 0.95 vs scalar oracle (BASELINE.json bar)") {
     val got = sparkTriples(CorpusGen.Small)
     val (want, _) = ScalarOracle.run(CorpusGen.Small)
