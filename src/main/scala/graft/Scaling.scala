@@ -36,13 +36,24 @@ object Scaling {
     s
   }
 
-  /** One full pipeline run; returns (wallSec, nTriples). */
-  def runOnce(cores: Int, scale: CorpusGen.Scale): (Double, Long) = {
+  /** One full pipeline run; returns (wallSec, nTriples, nJobs). nJobs is
+    * the scheduler job count — each job is one driver round-trip, so the
+    * count is the direct measure of the per-run fixed-overhead floor that
+    * eager probes/checkpoints/commit-protocols add (it does not shrink as
+    * data grows, unlike stage work).
+    */
+  def runOnce(cores: Int, scale: CorpusGen.Scale): (Double, Long, Int) = {
     val spark = session(cores)
     try {
+      val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobs.incrementAndGet()
+      })
       val t0 = System.nanoTime()
       val n = Pipeline.triplesForScale(spark, scale).count()
-      ((System.nanoTime() - t0) / 1e9, n)
+      ((System.nanoTime() - t0) / 1e9, n, jobs.get())
     } finally spark.stop()
   }
 
@@ -106,8 +117,8 @@ object Scaling {
       val repeats = sys.env.getOrElse("SCALING_RUNS", "2").toInt
       runOnce(cores, CorpusGen.Small) // JIT + codegen warm-up
       val runs = (1 to repeats).map(_ => runOnce(cores, CorpusGen.benchAt(nFiles)))
-      val (t, n) = runs.minBy(_._1)
-      println(s"""{"mode":"once","cores":$cores,"n_files":$nFiles,"sec":$t,"n_triples":$n,"runs":${runs.map(_._1).mkString("[", ",", "]")}}""")
+      val (t, n, jobs) = runs.minBy(_._1)
+      println(s"""{"mode":"once","cores":$cores,"n_files":$nFiles,"sec":$t,"n_triples":$n,"n_jobs":$jobs,"runs":${runs.map(_._1).mkString("[", ",", "]")}}""")
       return
     }
     if (args.headOption.contains("stages")) {
@@ -187,8 +198,8 @@ $rows
     val runs = (1 to repeats).flatMap { _ =>
       Seq(nHi -> runOnce(nHi, scale), nLo -> runOnce(nLo, scale))
     }
-    val (tHi, nTriplesHi) = runs.collect { case (c, r) if c == nHi => r }.minBy(_._1)
-    val (tLo, nTriplesLo) = runs.collect { case (c, r) if c == nLo => r }.minBy(_._1)
+    val (tHi, nTriplesHi, _) = runs.collect { case (c, r) if c == nHi => r }.minBy(_._1)
+    val (tLo, nTriplesLo, _) = runs.collect { case (c, r) if c == nLo => r }.minBy(_._1)
     require(nTriplesLo == nTriplesHi,
       s"nondeterministic across parallelism: $nTriplesLo vs $nTriplesHi")
     val eff = (tLo / tHi) / 4.0

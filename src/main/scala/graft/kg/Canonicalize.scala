@@ -92,10 +92,38 @@ object Canonicalize {
       .select(col("entity_id").as("src"),
         Triples.accountIri(col("screen_name")).as("dst"))
 
+  /** Closed-form components for a union of STARS: every src node has at
+    * most one edge (dsts are the star centers). The component of a star is
+    * {dst} ∪ {srcs of dst}, so its min-label representative is
+    * `least(dst, min(src))` — ONE aggregation, no iteration.
+    *
+    * This is exactly the strong-alignment-edge shape: the argmax-with-margin
+    * window (Scorer W3) emits at most one `is_alignment` row per entity, so
+    * each entity (src) carries at most one edge while an account IRI (dst)
+    * may center many entities. The generic loop above costs
+    * O(diameter) driver round-trips (eager localCheckpoint + count per
+    * round, ~10 jobs) — pure fixed overhead per pipeline run that stopped
+    * amortizing once the parallel stages got fast; this form is fully lazy
+    * inside the consumer's plan (StarComponentsSpec pins equality with the
+    * generic loop, KgPipelineSpec pins the end-to-end triple set).
+    *
+    * Returns only the SRC nodes' labels (node, comp) — star centers label
+    * trivially as their own component and no caller consumes them.
+    */
+  def starComponents(edges: DataFrame): DataFrame = {
+    val comps = edges.groupBy(col("dst"))
+      .agg(min(col("src")).as("min_src"))
+      .select(col("dst"), least(col("min_src"), col("dst")).as("comp"))
+    edges.join(comps, Seq("dst"))
+      .select(col("src").as("node"), col("comp"))
+  }
+
   /** entity_id → representative (entities not in any component map to self). */
   def representatives(spark: SparkSession, alignments: DataFrame,
       conf: KgConf = KgConf()): DataFrame = {
-    val comps = components(spark, strongEdges(alignments, conf))
+    // ≤1 row per entity by the star precondition, so the left join below
+    // never multiplies rows
+    val comps = starComponents(strongEdges(alignments, conf))
     alignments.select(col("entity_id")).distinct()
       .join(comps.withColumnRenamed("node", "entity_id"), Seq("entity_id"), "left")
       .select(col("entity_id"), coalesce(col("comp"), col("entity_id")).as("rep"))
