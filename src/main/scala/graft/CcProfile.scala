@@ -15,10 +15,11 @@ object CcProfile {
     val repos = CorpusGen.repos(spark, scale).toDF()
     val entities = CorpusGen.entities(spark, scale).toDF()
     val accounts = CorpusGen.accounts(spark, scale).toDF()
-    val mentions = Mentions.extract(repos).persist(MEMORY_AND_DISK)
-    val dict = Dictionary.build(spark, mentions, accounts).persist(MEMORY_AND_DISK)
+    val scan = Scan.products(repos).persist(MEMORY_AND_DISK)
+    val dict = Dictionary.build(spark, Scan.mentions(scan), accounts)
+      .persist(MEMORY_AND_DISK)
     val cands = CandidateGen.candidates(spark, entities, dict)
-    val aligned = Scorer.score(cands, entities, accounts, repos,
+    val aligned = Scorer.score(cands, entities, accounts, scan,
       CorpusGen.accountEmbeddings(spark, scale).toDF(),
       CorpusGen.entityEmbeddings(spark, scale).toDF()).persist(MEMORY_AND_DISK)
     println(s"[cc] aligned rows=${aligned.count()}")

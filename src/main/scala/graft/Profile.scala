@@ -29,8 +29,9 @@ object Profile {
     val accounts = CorpusGen.accounts(spark, scale).toDF()
     time("accounts_count")(accounts.count())
 
-    val mentions = Mentions.extract(repos)
-    time("mentions_count")(mentions.count())
+    val scan = Scan.products(repos).persist(MEMORY_AND_DISK)
+    time("scan_count")(scan.count())
+    val mentions = Scan.mentions(scan)
 
     val dict = Dictionary.build(spark, mentions, accounts).persist(MEMORY_AND_DISK)
     time("dictionary")(dict.count())
@@ -54,13 +55,13 @@ object Profile {
     time("candidates")(cands.count())
 
     // feature-table sub-steps
-    val (accVec, entVec) = Features.textVectors(repos, accounts, entities)
+    val (accVec, entVec) = Features.textVectors(scan, accounts, entities)
     time("text_vectors")(accVec.count() + entVec.count())
-    val sgv = Features.sgVectors(Features.socialEdges(repos, accounts),
+    val sgv = Features.sgVectors(Features.socialEdges(scan, accounts),
       CorpusGen.accountEmbeddings(spark, scale).toDF())
     time("social_graph")(sgv.count())
 
-    val aligned = Scorer.score(cands, entities, accounts, repos,
+    val aligned = Scorer.score(cands, entities, accounts, scan,
       CorpusGen.accountEmbeddings(spark, scale).toDF(),
       CorpusGen.entityEmbeddings(spark, scale).toDF()).persist(MEMORY_AND_DISK)
     time("scoring")(aligned.count())

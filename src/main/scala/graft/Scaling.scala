@@ -57,6 +57,37 @@ object Scaling {
     } finally spark.stop()
   }
 
+  /** One run with per-job callsite + duration accounting — the audit view
+    * of the fixed floor runOnce's nJobs summarizes. Prints one line per
+    * scheduler job (start-offset, wall, callsite) so eager probes,
+    * broadcast builds, and commit-protocol jobs are attributable to code.
+    */
+  def jobAudit(cores: Int, scale: CorpusGen.Scale): Unit = {
+    val spark = session(cores)
+    try {
+      val t0 = System.nanoTime()
+      val starts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          val site = j.stageInfos.sortBy(_.stageId).lastOption.map(_.name)
+            .orElse(Option(j.properties)
+              .flatMap(p => Option(p.getProperty("callSite.short"))))
+            .getOrElse("?")
+          starts.put(j.jobId, (System.nanoTime(), site))
+        }
+        override def onJobEnd(
+            j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+          Option(starts.get(j.jobId)).foreach { case (ts, site) =>
+            println(f"[jobs] #${j.jobId}%-3d +${(ts - t0) / 1e9}%7.1fs ${(System.nanoTime() - ts) / 1e9}%7.2fs  $site")
+          }
+        }
+      })
+      val n = Pipeline.triplesForScale(spark, scale).count()
+      println(f"[jobs] total wall ${(System.nanoTime() - t0) / 1e9}%.1f s, $n triples")
+    } finally spark.stop()
+  }
+
   /** Per-stage wall times at one parallelism level (fresh session; each
     * stage persisted+counted so the next stage starts from materialized
     * input — the per-stage N vs 4N efficiency evidence).
@@ -77,8 +108,12 @@ object Scaling {
       val entities = CorpusGen.entities(spark, scale).toDF()
       val accounts = CorpusGen.accounts(spark, scale).toDF()
       time("corpus_synthesis")(repos.count())
-      val mentions = Mentions.extract(repos).persist(MEMORY_AND_DISK)
-      time("mentions")(mentions.count())
+      // the single corpus read (round 5: was Mentions.extract, with text
+      // vectors and social edges re-reading the corpus inside
+      // features_scoring — those stages are scan-free now)
+      val scan = Scan.products(repos).persist(MEMORY_AND_DISK)
+      time("scan")(scan.count())
+      val mentions = Scan.mentions(scan)
       val dict = Dictionary.build(spark, mentions, accounts).persist(MEMORY_AND_DISK)
       time("dictionary")(dict.count())
       val cands = CandidateGen.candidates(spark, entities, dict).persist(MEMORY_AND_DISK)
@@ -91,7 +126,7 @@ object Scaling {
         case Some("broadcast") => KgConf(featurizeAutoBucketFiles = Int.MaxValue)
         case _ => KgConf()
       })
-      val aligned = Scorer.score(cands, entities, accounts, repos,
+      val aligned = Scorer.score(cands, entities, accounts, scan,
           CorpusGen.accountEmbeddings(spark, scale).toDF(),
           CorpusGen.entityEmbeddings(spark, scale).toDF(), conf)
         .persist(MEMORY_AND_DISK)
@@ -119,6 +154,12 @@ object Scaling {
       val runs = (1 to repeats).map(_ => runOnce(cores, CorpusGen.benchAt(nFiles)))
       val (t, n, jobs) = runs.minBy(_._1)
       println(s"""{"mode":"once","cores":$cores,"n_files":$nFiles,"sec":$t,"n_triples":$n,"n_jobs":$jobs,"runs":${runs.map(_._1).mkString("[", ",", "]")}}""")
+      return
+    }
+    if (args.headOption.contains("jobs")) {
+      val cores = args.lift(1).map(_.toInt).getOrElse(16)
+      val nFiles = args.lift(2).map(_.toInt).getOrElse(2000000)
+      jobAudit(cores, CorpusGen.benchAt(nFiles))
       return
     }
     if (args.headOption.contains("stages")) {

@@ -23,29 +23,30 @@ object ScoreProfile {
     val accounts = CorpusGen.accounts(spark, scale).toDF()
     val accEmb = CorpusGen.accountEmbeddings(spark, scale).toDF()
     val entEmb = CorpusGen.entityEmbeddings(spark, scale).toDF()
-    val mentions = Mentions.extract(repos).persist(MEMORY_AND_DISK)
-    time("mentions")(mentions.count())
-    val dict = Dictionary.build(spark, mentions, accounts).persist(MEMORY_AND_DISK)
+    val scan = Scan.products(repos).persist(MEMORY_AND_DISK)
+    time("scan")(scan.count())
+    val dict = Dictionary.build(spark, Scan.mentions(scan), accounts)
+      .persist(MEMORY_AND_DISK)
     time("dict")(dict.count())
     val cands = CandidateGen.candidates(spark, entities, dict).persist(MEMORY_AND_DISK)
     time("cands")(cands.count())
 
     time("acc_token_counts")(
-      Features.accountTokenCounts(repos, accounts).count())
-    val (avec, evec) = Features.textVectors(repos, accounts, entities)
+      Features.accountTokenCounts(scan, accounts).count())
+    val (avec, evec) = Features.textVectors(scan, accounts, entities)
     time("text_vectors")(avec.count() + evec.count())
-    time("social_edges")(Features.socialEdges(repos, accounts).count())
+    time("social_edges")(Features.socialEdges(scan, accounts).count())
     time("sg_vectors")(Features.sgVectors(
-      Features.socialEdges(repos, accounts), accEmb).count())
+      Features.socialEdges(scan, accounts), accEmb).count())
 
-    val feats = Scorer.featurize(cands, entities, accounts, repos,
+    val feats = Scorer.featurize(cands, entities, accounts, scan,
       accEmb, entEmb).persist(MEMORY_AND_DISK)
     time("featurize_all")(feats.count())
     time("agg name_sim")(feats.agg(sum(col("name_sim"))).collect())
     time("agg text_cos")(feats.agg(sum(col("text_cos"))).collect())
     time("agg sg_cos")(feats.agg(sum(col("sg_cos"))).collect())
 
-    val aligned = Scorer.score(cands, entities, accounts, repos,
+    val aligned = Scorer.score(cands, entities, accounts, scan,
       accEmb, entEmb).persist(MEMORY_AND_DISK)
     time("score_full")(aligned.count())
     val reps = Canonicalize.representatives(spark, aligned).persist(MEMORY_AND_DISK)

@@ -36,7 +36,7 @@ object Tune {
     val feats = Scorer.featurize(r.candidates,
       CorpusGen.entities(spark, scale).toDF(),
       CorpusGen.accounts(spark, scale).toDF(),
-      CorpusGen.repos(spark, scale).toDF(),
+      r.scan,
       CorpusGen.accountEmbeddings(spark, scale).toDF(),
       CorpusGen.entityEmbeddings(spark, scale).toDF())
     // scale-suffixed dump dirs so a Small fit can cross-validate on a Tiny

@@ -86,31 +86,21 @@ object Features {
     repos.select(explode(authorsUdf(col("content"))).as("screen_name"),
       col("content"))
 
-  /** Per-file (token-hash, count) pairs — counting INSIDE the kernel
-    * shrinks the hash-aggregate input from one row per token occurrence to
-    * one row per distinct token per file (~40% fewer rows on this corpus),
-    * and hashing here means the aggregate's key is a long, not a string.
-    */
-  private val fileTokenCountsUdf = udf((content: String) => {
-    val m = scala.collection.mutable.LinkedHashMap.empty[Long, Long]
-    Text.tokens(content).foreach { t =>
-      val h = graft.ops.Dedup.xxLane(0, t)
-      m.update(h, m.getOrElse(h, 0L) + 1L)
-    }
-    m.toSeq
-  })
-
   /** (account_id, h, tf) — flat per-account BOW counts over token HASHES
     * (map-side combinable hash aggregate; only (account, h) long partials
     * shuffle — this is the widest feature-side shuffle of the pipeline,
     * one row per distinct token per account).
+    *
+    * Accepts the raw corpus OR a Scan.products frame (Scan.ensure): the
+    * pipeline passes its persisted scan so this builder costs zero corpus
+    * reads; standalone callers with raw repos pay one.
     */
   def accountTokenCounts(repos: DataFrame, accounts: DataFrame): DataFrame = {
     val accs = broadcast(accounts.select(col("screenName").as("screen_name"),
       col("accountId").as("account_id")))
-    authoredContent(repos)
+    Scan.authoredTokens(Scan.ensure(repos))
       .join(accs, Seq("screen_name"))
-      .select(col("account_id"), explode(fileTokenCountsUdf(col("content"))).as("tc"))
+      .select(col("account_id"), explode(col("tok")).as("tc"))
       .groupBy(col("account_id"), col("tc._1").as("h"))
       .agg(sum(col("tc._2")).as("tf"))
   }
@@ -199,31 +189,19 @@ object Features {
 
   // ---------------------------------------------------------------- graph
 
-  /** (author screen, mention screen) pairs of one file — again derived in
-    * a single content pass (no author×mention join on file keys, which
-    * would shuffle the corpus twice).
-    */
-  val coMentionPairsUdf = udf((content: String) => {
-    if (content == null) Seq.empty[(String, String)]
-    else {
-      val authors = "// @author (\\S+)".r.findAllMatchIn(content).map(_.group(1)).toArray
-      val mens = "// @mention (\\S+)".r.findAllMatchIn(content).map(_.group(1)).toArray
-      for { a <- authors.toSeq; m <- mens } yield (a, m)
-    }
-  })
-
   /** Social-graph edges from per-file co-occurrence of the author with the
     * mentioned accounts: edges(src, dst, freq, w) where w is the per-src
     * normalized weight over edges that survive the min-frequency filter
-    * (ExtractSocialGraph.java:75-96, :176-195). One corpus pass; only
-    * (src_screen, dst_screen) pairs shuffle.
+    * (ExtractSocialGraph.java:75-96, :176-195). Pairs come from the shared
+    * scan (Scan.coMentionPairs — no extra corpus read when the caller
+    * passes a persisted products frame); only (src_screen, dst_screen)
+    * pairs shuffle.
     */
   def socialEdges(repos: DataFrame, accounts: DataFrame,
       minFreq: Long = 2): DataFrame = {
     val accs = broadcast(accounts.select(col("screenName").as("screen_name"),
       col("accountId").as("account_id")))
-    repos.select(explode(coMentionPairsUdf(col("content"))).as("p"))
-      .select(col("p._1").as("src_screen"), col("p._2").as("dst_screen"))
+    Scan.coMentionPairs(Scan.ensure(repos))
       .join(accs.withColumnRenamed("screen_name", "src_screen")
         .withColumnRenamed("account_id", "src"), Seq("src_screen"))
       .join(accs.withColumnRenamed("screen_name", "dst_screen")

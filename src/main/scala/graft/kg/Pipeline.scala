@@ -6,7 +6,8 @@ import org.apache.spark.sql.functions._
 /** End-to-end orchestration of the KG-construction pipeline:
   *
   *   corpus (repo,path,commit,lang,content)
-  *     → mentions        (regexp extraction, sha256 invariant attached)
+  *     → scan            (THE one corpus read: mentions + authors +
+  *                        co-mention pairs + token counts + sha256, Scan.scala)
   *     → dictionary      (name→account freq)          [shuffle 1: groupBy]
   *     → candidates      (broadcast join + top-K)     [shuffle 2: rollup+window]
   *     → alignments      (features + logistic score + margin argmax)
@@ -27,7 +28,8 @@ object Pipeline {
       lineage: DataFrame,
       mentions: DataFrame,
       dictionary: DataFrame,
-      candidates: DataFrame) {
+      candidates: DataFrame,
+      scan: DataFrame) {
     /** Release the frames compute() persisted — a long-lived session
       * running many pipelines accumulates cache otherwise (storage
       * eviction then fights execution memory).
@@ -35,7 +37,7 @@ object Pipeline {
     def unpersist(): Unit = {
       alignments.unpersist()
       dictionary.unpersist()
-      mentions.unpersist()
+      scan.unpersist()
     }
   }
 
@@ -49,11 +51,15 @@ object Pipeline {
       accounts: DataFrame, accountEmbeddings: DataFrame,
       entityEmbeddings: DataFrame, conf: KgConf = KgConf()): Result = {
     sessionConf(spark)
-    // mentions feed three consumers (dictionary, text vectors, social
-    // graph) — persist so the annotation regex runs over the corpus once;
-    // the frame is annotation rows only, a tiny fraction of content size
-    val mentions = Mentions.extract(repos)
+    // ONE corpus read: Scan.products extracts mentions + authors +
+    // co-mention pairs + token counts in a single pass and is the only
+    // frame that ever sees `content`. It feeds four consumers (dictionary,
+    // lineage, text vectors, social graph) — persist so the corpus is
+    // scanned exactly once; the product rows are a small fraction of
+    // content size (annotations + per-authored-file token histograms).
+    val scan = Scan.products(repos)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val mentions = Scan.mentions(scan)
     val dict = Dictionary.build(spark, mentions, accounts)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cands = CandidateGen.candidates(spark, entities, dict, conf)
@@ -62,15 +68,15 @@ object Pipeline {
     // whole corpus-scan → dictionary → scoring chain recomputes per
     // consumer (~3× wall). Persisted size is O(|entities| × topK), tiny
     // next to the corpus.
-    val aligned = Scorer.score(cands, entities, accounts, repos,
+    val aligned = Scorer.score(cands, entities, accounts, scan,
         accountEmbeddings, entityEmbeddings, conf)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val reps = Canonicalize.representatives(spark, aligned, conf)
     val triples = Triples.materialize(aligned, reps)
-    val lineage = mentions
+    val lineage = scan
       .select(col("repo"), col("path"), col("commit"), col("content_sha"))
       .distinct()
-    Result(triples, aligned, lineage, mentions, dict, cands)
+    Result(triples, aligned, lineage, mentions, dict, cands, scan)
   }
 
   /** Auto-select the featurize pair-join strategy by scale: corpora at or
@@ -124,9 +130,12 @@ object Pipeline {
     val accounts = Checkpoint.stage(spark, root, "accounts", params = params) {
       CorpusGen.accounts(spark, scale).toDF()
     }
-    val mentions = Checkpoint.stage(spark, root, "mentions", params = params) {
-      Mentions.extract(repos)
+    // the single corpus read, checkpointed: a resumed run never touches
+    // content again — every later stage derives from the scan parquet
+    val scan = Checkpoint.stage(spark, root, "scan", params = params) {
+      Scan.products(repos)
     }
+    val mentions = Scan.mentions(scan)
     val dict = Checkpoint.stage(spark, root, "dictionary", params = params) {
       Dictionary.build(spark, mentions, accounts)
     }
@@ -140,7 +149,7 @@ object Pipeline {
       CandidateGen.candidates(spark, entities, dict, conf)
     }
     val aligned = Checkpoint.stage(spark, root, "alignments", params = params) {
-      Scorer.score(cands, entities, accounts, repos, accEmb, entEmb, conf)
+      Scorer.score(cands, entities, accounts, scan, accEmb, entEmb, conf)
     }
     val reps = Checkpoint.stage(spark, root, "representatives", params = params) {
       Canonicalize.representatives(spark, aligned, conf)
@@ -149,9 +158,9 @@ object Pipeline {
       Triples.materialize(aligned, reps)
     }
     val lineage = Checkpoint.stage(spark, root, "lineage", params = params) {
-      mentions.select(col("repo"), col("path"), col("commit"), col("content_sha"))
+      scan.select(col("repo"), col("path"), col("commit"), col("content_sha"))
         .distinct()
     }
-    Result(triples, aligned, lineage, mentions, dict, cands)
+    Result(triples, aligned, lineage, mentions, dict, cands, scan)
   }
 }

@@ -1,0 +1,119 @@
+package graft.kg
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The ONE corpus pass.
+  *
+  * The pipeline needs four products of the raw content: the annotation
+  * rows (mentions), the author list (per-account corpus text), the
+  * author×mention pairs (social graph), and the per-file token counts
+  * (TF-IDF model). Before this object existed each product scanned the
+  * corpus independently — Mentions.extract, Features.authoredContent and
+  * Features.coMentionPairsUdf each read every content string, i.e. THREE
+  * full corpus reads per pipeline run. At 10^12-file scale the corpus
+  * read IS the pipeline's dominant cost, so the pass count is the first
+  * thing to fix: `products` extracts all four in a single pass, the
+  * pipeline persists/checkpoints the (small) product rows, and every
+  * downstream stage derives from them — content is read exactly once and
+  * never again.
+  *
+  * Exactness: each product is extracted by the SAME kernel the dedicated
+  * scans used (the three regexes below and the xxhash64 token counter are
+  * verbatim from Mentions/Features), so the derived frames are
+  * row-identical to the per-scan formulations — KgPipelineSpec's exact
+  * triple-set gate and the DuckDB SQL replays hold unchanged.
+  *
+  * Reference analogue: BuildUserIndex.java:221-269 likewise emits author ∪
+  * mention rows from ONE pass over the tweet stream.
+  */
+object Scan {
+
+  /** `// @author screen (Display Name)` — Mentions.AnnotationRe verbatim. */
+  private val AnnotationRe = "// @(author|mention) (\\S+) \\(([^)]*)\\)".r
+  /** Features.authorsUdf / coMentionPairsUdf regexes verbatim. */
+  private val AuthorRe = "// @author (\\S+)".r
+  private val MentionRe = "// @mention (\\S+)".r
+
+  /** Per-file products. `tok` is populated only for authored files (the
+    * only files whose tokens feed the per-account text model) — the token
+    * histogram is the widest product, so skipping unauthored files keeps
+    * the persisted frame small.
+    */
+  final case class Products(
+      anns: Seq[(String, String, String)],
+      authors: Seq[String],
+      mens: Seq[String],
+      tok: Seq[(Long, Long)])
+
+  val productsUdf = udf((content: String) =>
+    if (content == null) Products(Nil, Nil, Nil, Nil)
+    else {
+      val anns = AnnotationRe.findAllMatchIn(content)
+        .map(m => (m.group(1), m.group(2), m.group(3))).toSeq
+      val authors = AuthorRe.findAllMatchIn(content).map(_.group(1)).toSeq
+      val mens = MentionRe.findAllMatchIn(content).map(_.group(1)).toSeq
+      val tok =
+        if (authors.isEmpty) Seq.empty[(Long, Long)]
+        else {
+          // Features.fileTokenCountsUdf kernel: per-file counts over token
+          // HASHES — one row per distinct token per file, key already a long
+          val m = scala.collection.mutable.LinkedHashMap.empty[Long, Long]
+          Text.tokens(content).foreach { t =>
+            val h = graft.ops.Dedup.xxLane(0, t)
+            m.update(h, m.getOrElse(h, 0L) + 1L)
+          }
+          m.toSeq
+        }
+      Products(anns, authors, mens, tok)
+    })
+
+  /** (repo, path, commit, content_sha, anns, authors, mens, tok) — one row
+    * per file, content dropped. The sha2 invariant is computed here, at the
+    * only place content is ever visible (input_hint contract).
+    */
+  def products(repos: DataFrame): DataFrame =
+    Mentions.withSha(repos)
+      .select(col("repo"), col("path"), col("commit"), col("content_sha"),
+        productsUdf(col("content")).as("s"))
+      .select(col("repo"), col("path"), col("commit"), col("content_sha"),
+        col("s.anns").as("anns"), col("s.authors").as("authors"),
+        col("s.mens").as("mens"), col("s.tok").as("tok"))
+
+  /** Is `df` already a scan-products frame (vs the raw corpus)? */
+  def isScan(df: DataFrame): Boolean = df.columns.contains("anns")
+
+  /** Accept either the raw corpus or an (ideally persisted) products frame
+    * — lets every feature builder keep its `repos` signature while the
+    * pipeline shares one persisted scan across all consumers.
+    */
+  def ensure(df: DataFrame): DataFrame = if (isScan(df)) df else products(df)
+
+  /** Mentions.extract-identical rows, derived from the scan. */
+  def mentions(scan: DataFrame): DataFrame =
+    scan.select(col("repo"), col("path"), col("commit"), col("content_sha"),
+        explode(col("anns")).as("m"))
+      .select(col("repo"), col("path"), col("commit"), col("content_sha"),
+        col("m._1").as("kind"),
+        col("m._2").as("screen_name"),
+        col("m._3").as("display_name"))
+
+  /** (src_screen, dst_screen) author×mention pairs — the social-graph raw
+    * rows, derived in Catalyst (no content, no UDF): one array expression
+    * per file, exploded. Order matches Features.coMentionPairsUdf (authors
+    * outer, mentions inner); consumers aggregate, so order is cosmetic.
+    */
+  def coMentionPairs(scan: DataFrame): DataFrame =
+    scan.select(explode(flatten(transform(col("authors"),
+        a => transform(col("mens"),
+          m => struct(a.as("src_screen"), m.as("dst_screen")))))).as("p"))
+      .select(col("p.src_screen").as("src_screen"),
+        col("p.dst_screen").as("dst_screen"))
+
+  /** (screen_name, tok) rows for authored files — the per-account text
+    * model's input, derived from the scan (was authoredContent's second
+    * corpus read).
+    */
+  def authoredTokens(scan: DataFrame): DataFrame =
+    scan.select(explode(col("authors")).as("screen_name"), col("tok"))
+}

@@ -181,9 +181,13 @@ object Scorer {
       entityEmbeddings: DataFrame,
       entJoin: (DataFrame, DataFrame) => DataFrame = broadcastEntJoin,
       nowMs: Long = CorpusGen.NowMs): DataFrame = {
-    val (accVec, entVec) = Features.textVectors(repos, accounts, entities)
+    // one scan for both corpus-derived feature tables: the pipeline passes
+    // its persisted Scan.products frame (zero corpus reads here); a raw
+    // corpus argument is scanned once and shared by both consumers
+    val scan = Scan.ensure(repos)
+    val (accVec, entVec) = Features.textVectors(scan, accounts, entities)
     val sgVec = Features.sgVectors(
-      Features.socialEdges(repos, accounts), accountEmbeddings)
+      Features.socialEdges(scan, accounts), accountEmbeddings)
 
     // F12 homepage alignment lookup (HomepageAlignmentsScorer.java:28-35):
     // url → number of accounts carrying it. Only urls that equal some

@@ -49,7 +49,7 @@ class CheckpointSpec extends AnyFunSuite with SparkTestBase {
     Pipeline.run(spark, CorpusGen.Tiny, root)
     val cp = Checkpoint.readCheckpoints(spark, root)
     val stages = cp.select(col("stage")).distinct().collect().map(_.getString(0)).toSet
-    assert(stages == Set("corpus", "entities", "accounts", "mentions", "dictionary",
+    assert(stages == Set("corpus", "entities", "accounts", "scan", "dictionary",
       "account_embeddings", "entity_embeddings",
       "candidates", "alignments", "representatives", "triples", "lineage"))
     // every row: n_rows > 0 somewhere, status done, wall_ms recorded
