@@ -15,7 +15,7 @@ object CcProfile {
     val repos = CorpusGen.repos(spark, scale).toDF()
     val entities = CorpusGen.entities(spark, scale).toDF()
     val accounts = CorpusGen.accounts(spark, scale).toDF()
-    val scan = Scan.products(repos).persist(MEMORY_AND_DISK)
+    val scan = Scan.materialize(Scan.products(repos), Scan.scratchDir(spark))
     val dict = Dictionary.build(spark, Scan.mentions(scan), accounts)
       .persist(MEMORY_AND_DISK)
     val cands = CandidateGen.candidates(spark, entities, dict)

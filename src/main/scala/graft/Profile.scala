@@ -29,8 +29,8 @@ object Profile {
     val accounts = CorpusGen.accounts(spark, scale).toDF()
     time("accounts_count")(accounts.count())
 
-    val scan = Scan.products(repos).persist(MEMORY_AND_DISK)
-    time("scan_count")(scan.count())
+    val scan = time("scan_count")(
+      Scan.materialize(Scan.products(repos), Scan.scratchDir(spark)))
     val mentions = Scan.mentions(scan)
 
     val dict = Dictionary.build(spark, mentions, accounts).persist(MEMORY_AND_DISK)

@@ -110,9 +110,10 @@ object Scaling {
       time("corpus_synthesis")(repos.count())
       // the single corpus read (round 5: was Mentions.extract, with text
       // vectors and social edges re-reading the corpus inside
-      // features_scoring — those stages are scan-free now)
-      val scan = Scan.products(repos).persist(MEMORY_AND_DISK)
-      time("scan")(scan.count())
+      // features_scoring — those stages are scan-free now); scratch
+      // parquet, so later stages read pruned columns
+      val scan = time("scan")(
+        Scan.materialize(Scan.products(repos), Scan.scratchDir(spark)))
       val mentions = Scan.mentions(scan)
       val dict = Dictionary.build(spark, mentions, accounts).persist(MEMORY_AND_DISK)
       time("dictionary")(dict.count())

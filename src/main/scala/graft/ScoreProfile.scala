@@ -23,8 +23,8 @@ object ScoreProfile {
     val accounts = CorpusGen.accounts(spark, scale).toDF()
     val accEmb = CorpusGen.accountEmbeddings(spark, scale).toDF()
     val entEmb = CorpusGen.entityEmbeddings(spark, scale).toDF()
-    val scan = Scan.products(repos).persist(MEMORY_AND_DISK)
-    time("scan")(scan.count())
+    val scan = time("scan")(
+      Scan.materialize(Scan.products(repos), Scan.scratchDir(spark)))
     val dict = Dictionary.build(spark, Scan.mentions(scan), accounts)
       .persist(MEMORY_AND_DISK)
     time("dict")(dict.count())

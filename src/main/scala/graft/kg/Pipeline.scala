@@ -29,15 +29,16 @@ object Pipeline {
       mentions: DataFrame,
       dictionary: DataFrame,
       candidates: DataFrame,
-      scan: DataFrame) {
-    /** Release the frames compute() persisted — a long-lived session
-      * running many pipelines accumulates cache otherwise (storage
-      * eviction then fights execution memory).
+      scan: DataFrame,
+      scanPath: Option[String] = None) {
+    /** Release the frames compute() persisted (and the scan's scratch
+      * parquet) — a long-lived session running many pipelines accumulates
+      * cache otherwise (storage eviction then fights execution memory).
       */
     def unpersist(): Unit = {
       alignments.unpersist()
       dictionary.unpersist()
-      scan.unpersist()
+      scanPath.foreach(Scan.dropScratch(alignments.sparkSession, _))
     }
   }
 
@@ -54,11 +55,12 @@ object Pipeline {
     // ONE corpus read: Scan.products extracts mentions + authors +
     // co-mention pairs + token counts in a single pass and is the only
     // frame that ever sees `content`. It feeds four consumers (dictionary,
-    // lineage, text vectors, social graph) — persist so the corpus is
-    // scanned exactly once; the product rows are a small fraction of
-    // content size (annotations + per-authored-file token histograms).
-    val scan = Scan.products(repos)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // lineage, text vectors, social graph) — materialized as scratch
+    // PARQUET (not .persist) so each consumer reads only its pruned
+    // columns; the product rows are a small fraction of content size
+    // (annotations + per-authored-file token histograms).
+    val scanPath = Scan.scratchDir(spark)
+    val scan = Scan.materialize(Scan.products(repos), scanPath)
     val mentions = Scan.mentions(scan)
     val dict = Dictionary.build(spark, mentions, accounts)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -76,7 +78,7 @@ object Pipeline {
     val lineage = scan
       .select(col("repo"), col("path"), col("commit"), col("content_sha"))
       .distinct()
-    Result(triples, aligned, lineage, mentions, dict, cands, scan)
+    Result(triples, aligned, lineage, mentions, dict, cands, scan, Some(scanPath))
   }
 
   /** Auto-select the featurize pair-join strategy by scale: corpora at or
