@@ -64,6 +64,18 @@ object Pipeline {
     val mentions = Scan.mentions(scan)
     val dict = Dictionary.build(spark, mentions, accounts)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the dim-side feature frames (accVec/sgVec/hp lookup) and the
+    // dictionary→candidates chain are independent, but each blocks the
+    // driver on an eager job (textVectors' localCheckpoint vs the
+    // candidate-ladder probe) — build the dims on a Future so the two
+    // chains' jobs interleave instead of running back-to-back (the same
+    // overlap the two bucketed table writes use in Scorer.bucketedEntJoin)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val dimsF = Future {
+      Scorer.dims(entities, accounts, scan, accountEmbeddings, entityEmbeddings)
+    }
     val cands = CandidateGen.candidates(spark, entities, dict, conf)
     // alignments feed three consumers (connected components, the triple
     // materialization, and the evaluation surface) — without a persist the
@@ -71,7 +83,8 @@ object Pipeline {
     // consumer (~3× wall). Persisted size is O(|entities| × topK), tiny
     // next to the corpus.
     val aligned = Scorer.score(cands, entities, accounts, scan,
-        accountEmbeddings, entityEmbeddings, conf)
+        accountEmbeddings, entityEmbeddings, conf,
+        prebuiltDims = Some(Await.result(dimsF, Duration.Inf)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // fill the cache with ONE job before the consumers fan out: the final
     // triple plan scans `aligned` six times (per-pair branch, the two

@@ -176,11 +176,18 @@ object Scorer {
       spark.table(ct).join(spark.table(et), Seq("entity_id"))
     }
 
-  def featurize(candidates: DataFrame, entities: DataFrame, accounts: DataFrame,
-      repos: DataFrame, accountEmbeddings: DataFrame,
-      entityEmbeddings: DataFrame,
-      entJoin: (DataFrame, DataFrame) => DataFrame = broadcastEntJoin,
-      nowMs: Long = CorpusGen.NowMs): DataFrame = {
+  /** The two dimension-side feature frames — acc(account_id, …features) and
+    * ent(entity_id, …features) — extracted from featurize so the pipeline
+    * can build them CONCURRENTLY with the candidate chain: the only eager
+    * point in here (textVectors' accTok localCheckpoint) is independent of
+    * the dictionary/candidates jobs, and running the two driver-blocking
+    * chains on one thread serializes ~10 s of per-run floor at bench scale
+    * (Pipeline.compute overlaps them on a Future, the same pattern as the
+    * two bucketed table writes below).
+    */
+  def dims(entities: DataFrame, accounts: DataFrame, repos: DataFrame,
+      accountEmbeddings: DataFrame, entityEmbeddings: DataFrame)
+      : (DataFrame, DataFrame) = {
     // one scan for both corpus-derived feature tables: the pipeline passes
     // its persisted Scan.products frame (zero corpus reads here); a raw
     // corpus argument is scanned once and shared by both consumers
@@ -225,6 +232,17 @@ object Scorer {
       .join(accVec.withColumnRenamed("tvec", "a_tvec")
         .withColumnRenamed("tnorm", "a_tnorm"), Seq("account_id"), "left")
       .join(sgVec, Seq("account_id"), "left")
+    (acc, ent)
+  }
+
+  def featurize(candidates: DataFrame, entities: DataFrame, accounts: DataFrame,
+      repos: DataFrame, accountEmbeddings: DataFrame,
+      entityEmbeddings: DataFrame,
+      entJoin: (DataFrame, DataFrame) => DataFrame = broadcastEntJoin,
+      nowMs: Long = CorpusGen.NowMs,
+      prebuiltDims: Option[(DataFrame, DataFrame)] = None): DataFrame = {
+    val (acc, ent) = prebuiltDims.getOrElse(
+      dims(entities, accounts, repos, accountEmbeddings, entityEmbeddings))
 
     // Join order matters for shuffle traffic: candidates ⋈ acc FIRST (only
     // the narrow (entity_id, account_id, freq, rank) rows shuffle on
@@ -293,14 +311,15 @@ object Scorer {
     */
   def score(candidates: DataFrame, entities: DataFrame, accounts: DataFrame,
       repos: DataFrame, accountEmbeddings: DataFrame,
-      entityEmbeddings: DataFrame, conf: KgConf = KgConf()): DataFrame = {
+      entityEmbeddings: DataFrame, conf: KgConf = KgConf(),
+      prebuiltDims: Option[(DataFrame, DataFrame)] = None): DataFrame = {
     val entJoin =
       if (conf.bucketedFeaturize)
         bucketedEntJoin(candidates.sparkSession, conf.featurizeBuckets,
           conf.featurizePrefix)
       else broadcastEntJoin
     val feats = featurize(candidates, entities, accounts, repos,
-      accountEmbeddings, entityEmbeddings, entJoin, conf.nowMs)
+      accountEmbeddings, entityEmbeddings, entJoin, conf.nowMs, prebuiltDims)
     val z =
       lit(conf.wName) * col("name_sim") +
       lit(conf.wText) * col("text_cos") +
