@@ -213,7 +213,11 @@ object CandidateGen {
         .join(withCand, Seq("entity_id"), "left_anti")
         .localCheckpoint(false)
       // no lonely entities → skip the whole fuzzy branch (band explosion +
-      // per-band window count over the dictionary names) entirely
+      // per-band window count over the dictionary names) entirely.
+      // This eager probe costs one driver scheduling round-trip per run at
+      // ANY scale (the job itself is tiny — it reads the lonely checkpoint,
+      // not the corpus); it buys skipping the band explosion whenever the
+      // exact ladder covered everyone, which dominates on clean corpora.
       if (lonely.isEmpty) exactLc
       else {
         val dictNames = dictionary.select(col("name")).distinct()
