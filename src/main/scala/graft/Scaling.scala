@@ -16,6 +16,9 @@ import graft.kg._
 object Scaling {
 
   def session(cores: Int): SparkSession = {
+    // fail fast on swapped operands (a local[2000000] master spawns that
+    // many dispatcher threads and OOMs the JVM before any job runs)
+    require(cores >= 1 && cores <= 1024, s"implausible local core count: $cores")
     new java.io.File("/dev/shm/spark-local").mkdirs()
     val s = SparkSession.builder()
       .master(s"local[$cores]")
@@ -158,8 +161,9 @@ object Scaling {
       return
     }
     if (args.headOption.contains("jobs")) {
-      val cores = args.lift(1).map(_.toInt).getOrElse(16)
-      val nFiles = args.lift(2).map(_.toInt).getOrElse(2000000)
+      // same operand order as `stages`: jobs <nFiles> <cores>
+      val nFiles = args.lift(1).map(_.toInt).getOrElse(2000000)
+      val cores = args.lift(2).map(_.toInt).getOrElse(16)
       jobAudit(cores, CorpusGen.benchAt(nFiles))
       return
     }
