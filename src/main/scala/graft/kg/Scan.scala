@@ -35,10 +35,13 @@ object Scan {
     * marker prefix, so a single scan with the display-name group OPTIONAL
     * yields all three match sets: every combined match is an author/mention
     * row, and the matches whose optional group is present are exactly the
-    * annotation rows. Equivalent to the three independent scans as long as
-    * a display name (`[^)]*`) never itself contains a ` // @` marker —
-    * true of every generator and fixture, and gated by the DuckDB replays
-    * and KgPipelineSpec's exact-set check, which re-derive the products
+    * annotation rows. Equivalent to the three independent scans whenever
+    * no marker match overlaps text another scan would match: display names
+    * contain no `// @` marker, screens are \w+, and a ` (` after a screen
+    * closes before any later marker (see ScanKernelSpec, which property-
+    * tests the equivalence and pins each divergence case) — all true of
+    * every generator and fixture, and gated by the DuckDB replays and
+    * KgPipelineSpec's exact-set check, which re-derive the products
     * independently. Cuts the marker passes over content from 3 to 1
     * (measured ~25% off the UDF kernel on the short synthetic contents;
     * proportionally more on real-size files where the scan IS the cost).
@@ -56,7 +59,11 @@ object Scan {
       mens: Seq[String],
       tok: Seq[(Long, Long)])
 
-  val productsUdf = udf((content: String) =>
+  /** The scalar kernel behind [[productsUdf]] — exposed so ScanKernelSpec
+    * can property-test it against the historical three-regex formulation
+    * without a Spark job.
+    */
+  def productsOf(content: String): Products =
     if (content == null) Products(Nil, Nil, Nil, Nil)
     else {
       val annsB = Seq.newBuilder[(String, String, String)]
@@ -84,7 +91,9 @@ object Scan {
           m.toSeq
         }
       Products(anns, authors, mens, tok)
-    })
+    }
+
+  val productsUdf = udf(productsOf _)
 
   /** (repo, path, commit, content_sha, anns, authors, mens, tok) — one row
     * per file, content dropped. The sha2 invariant is computed here, at the
