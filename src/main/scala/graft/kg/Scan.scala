@@ -125,6 +125,20 @@ object Scan {
   def materialize(products: DataFrame, dir: String): DataFrame = {
     val spark = products.sparkSession
     products.write.mode("overwrite").parquet(dir)
+    // safety net: callers that never reach Result.unpersist (ad-hoc
+    // Scaling/stage runs, thrown-away Results) would otherwise strand the
+    // scratch dir on the local disk FOREVER — observed 70 GB of leaked
+    // graft-scan-* dirs across a measurement day. Deleting at application
+    // end keeps scratch lifetime ≤ session lifetime; dropScratch stays the
+    // eager release for pipeline callers (it is idempotent, so both firing
+    // is fine). A SIGKILL still leaks — that needs an external sweep, like
+    // any Spark local-dir residue.
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onApplicationEnd(
+            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+          try dropScratch(spark, dir) catch { case _: Throwable => () }
+      })
     spark.read.parquet(dir)
   }
 
