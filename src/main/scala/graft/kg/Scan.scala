@@ -46,7 +46,106 @@ object Scan {
     * (measured ~25% off the UDF kernel on the short synthetic contents;
     * proportionally more on real-size files where the scan IS the cost).
     */
-  private val MarkerRe = "// @(author|mention) (\\S+)( \\(([^)]*)\\))?".r
+  private[kg] val MarkerRe = "// @(author|mention) (\\S+)( \\(([^)]*)\\))?".r
+
+  /** Java-regex `\s` exactly ([ \t\n\x0B\f\r]) — NOT Character.isWhitespace,
+    * which differs on control/Unicode chars; the scanner must reproduce
+    * `\S+` bit-for-bit.
+    */
+  @inline private def isRegexSpace(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
+  /** Hand-rolled scanner equivalent to `MarkerRe.findAllMatchIn` — exposed
+    * for ScanKernelSpec's property test against the regex. Emits
+    * (isAuthor, screen, displayOrNull) per non-overlapping match and skips
+    * between candidates with the intrinsified `String.indexOf` instead of
+    * walking the NFA over every char. Semantics mirrored from the regex:
+    * the kind word must be followed by one literal space; `\S+` is the
+    * maximal run of non-`\s` chars (at least one — and since any shorter
+    * prefix of that run ends at a non-space char, the optional display
+    * group can only ever match at the maximal end, so no backtracking
+    * case exists); the display group matches iff the screen is followed
+    * by " (" and a ')' occurs anywhere later (`[^)]*` spans newlines);
+    * scanning resumes at the match end, so markers inside a display are
+    * consumed, exactly as `findAllMatchIn`'s non-overlapping scan does.
+    */
+  private[kg] def scanMarkers(content: String)(
+      onMatch: (Boolean, String, String) => Unit): Unit = {
+    val L = content.length
+    var i = content.indexOf("// @")
+    while (i >= 0) {
+      var next = i + 1 // resume point when no match starts here
+      val k = i + 4
+      val isAuthor = content.startsWith("author ", k)
+      val isMention = !isAuthor && content.startsWith("mention ", k)
+      if (isAuthor || isMention) {
+        val ss = k + (if (isAuthor) 7 else 8)
+        var se = ss
+        while (se < L && !isRegexSpace(content.charAt(se))) se += 1
+        if (se > ss) {
+          var display: String = null
+          var end = se
+          if (se + 1 < L && content.charAt(se) == ' ' &&
+              content.charAt(se + 1) == '(') {
+            val close = content.indexOf(')', se + 2)
+            if (close >= 0) {
+              display = content.substring(se + 2, close)
+              end = close + 1
+            }
+          }
+          onMatch(isAuthor, content.substring(ss, se), display)
+          next = end
+        }
+      }
+      i = content.indexOf("// @", next)
+    }
+  }
+
+  private val TokenHashSeed = graft.ops.Dedup.laneSeed(0)
+
+  /** Fused tokenizer+hasher: one pass over content, lowercasing
+    * letter-or-digit runs (Text.tokens' exact token rule) and UTF-8-encoding
+    * them into a reusable buffer hashed with the SAME XXH64 lane-0 kernel as
+    * `Dedup.xxLane` — zero per-token String/StringBuilder/UTF8String
+    * allocation. Token chars are always BMP non-surrogates (surrogate code
+    * units fail isLetterOrDigit and break the token, as in Text.tokens), so
+    * the manual 1-3-byte encoding matches UTF8String.fromString exactly;
+    * ScanKernelSpec property-tests bit-equality against
+    * `Text.tokens + xxLane`, non-ASCII letters included.
+    */
+  private[kg] def tokenHashCounts(content: String): Seq[(Long, Long)] = {
+    val m = scala.collection.mutable.LinkedHashMap.empty[Long, Long]
+    var buf = new Array[Byte](128)
+    var len = 0
+    val L = content.length
+    var i = 0
+    while (i <= L) {
+      val c = if (i < L) content.charAt(i) else ' ' // sentinel flushes the tail
+      if (i < L && Character.isLetterOrDigit(c)) {
+        val lc = Character.toLowerCase(c)
+        if (len + 3 > buf.length) buf = java.util.Arrays.copyOf(buf, buf.length * 2)
+        if (lc < 0x80) { buf(len) = lc.toByte; len += 1 }
+        else if (lc < 0x800) {
+          buf(len) = (0xC0 | (lc >> 6)).toByte
+          buf(len + 1) = (0x80 | (lc & 0x3F)).toByte
+          len += 2
+        } else {
+          buf(len) = (0xE0 | (lc >> 12)).toByte
+          buf(len + 1) = (0x80 | ((lc >> 6) & 0x3F)).toByte
+          buf(len + 2) = (0x80 | (lc & 0x3F)).toByte
+          len += 3
+        }
+      } else if (len > 0) {
+        val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+          buf, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, len,
+          TokenHashSeed)
+        m.update(h, m.getOrElse(h, 0L) + 1L)
+        len = 0
+      }
+      i += 1
+    }
+    m.toSeq
+  }
 
   /** Per-file products. `tok` is populated only for authored files (the
     * only files whose tokens feed the per-account text model) — the token
@@ -69,27 +168,19 @@ object Scan {
       val annsB = Seq.newBuilder[(String, String, String)]
       val authorsB = Seq.newBuilder[String]
       val mensB = Seq.newBuilder[String]
-      MarkerRe.findAllMatchIn(content).foreach { m =>
-        val kind = m.group(1)
-        val screen = m.group(2)
-        if (m.group(3) != null) annsB += ((kind, screen, m.group(4)))
-        if (kind == "author") authorsB += screen else mensB += screen
+      scanMarkers(content) { (isAuthor, screen, display) =>
+        val kind = if (isAuthor) "author" else "mention"
+        if (display != null) annsB += ((kind, screen, display))
+        if (isAuthor) authorsB += screen else mensB += screen
       }
       val anns = annsB.result()
       val authors = authorsB.result()
       val mens = mensB.result()
+      // Features.fileTokenCountsUdf kernel: per-file counts over token
+      // HASHES — one row per distinct token per file, key already a long
       val tok =
         if (authors.isEmpty) Seq.empty[(Long, Long)]
-        else {
-          // Features.fileTokenCountsUdf kernel: per-file counts over token
-          // HASHES — one row per distinct token per file, key already a long
-          val m = scala.collection.mutable.LinkedHashMap.empty[Long, Long]
-          Text.tokens(content).foreach { t =>
-            val h = graft.ops.Dedup.xxLane(0, t)
-            m.update(h, m.getOrElse(h, 0L) + 1L)
-          }
-          m.toSeq
-        }
+        else tokenHashCounts(content)
       Products(anns, authors, mens, tok)
     }
 

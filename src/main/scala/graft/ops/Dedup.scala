@@ -59,6 +59,12 @@ object Dedup {
   def xxLane(lane: Int, s: String): Long =
     XXH64.hashUTF8String(UTF8String.fromString(s), XXH64.hashInt(lane, XxSeed))
 
+  /** The per-lane seed of [[xxLane]] — lets allocation-free callers
+    * (kg.Scan's fused tokenizer-hasher) run the same XXH64 kernel over a
+    * reusable byte buffer instead of a per-token UTF8String.
+    */
+  private[graft] def laneSeed(lane: Int): Long = XXH64.hashInt(lane, XxSeed)
+
   /** Mirror of the Column form `filter(split(lower(text), "[^a-z0-9]+"),
     * _ =!= "")`.
     */

@@ -82,6 +82,92 @@ class ScanKernelSpec extends AnyFunSuite {
     cases.foreach(c => assert(combined(c) === reference(c), s"case: $c"))
   }
 
+  // --- the hand-rolled scanner vs the regex it replaced (FULL equivalence:
+  // scanMarkers mirrors MarkerRe itself, so unlike the three-regex
+  // comparison above it must agree on ARBITRARY content, junk included) ---
+
+  private def viaRegex(content: String): Seq[(Boolean, String, String)] =
+    Scan.MarkerRe.findAllMatchIn(content)
+      .map(m => (m.group(1) == "author", m.group(2), m.group(4))).toSeq
+
+  private def viaScanner(content: String): Seq[(Boolean, String, String)] = {
+    val b = Seq.newBuilder[(Boolean, String, String)]
+    Scan.scanMarkers(content)((a, s, d) => b += ((a, s, d)))
+    b.result()
+  }
+
+  private val hostileGen: Gen[String] = Gen.listOf(Gen.frequency(
+    4 -> Gen.alphaNumChar,
+    2 -> Gen.oneOf(' ', '(', ')', '/', '@', '\n', '\t'),
+    1 -> Gen.oneOf("// @", "// @author ", "// @mention ", "// @authorx",
+      "// @mentions", "(", ")", " (", "// @author  two", "// @author\t"),
+    1 -> Gen.const("// @author a (// @mention b)")))
+    .map(_.mkString)
+
+  test("scanMarkers ≡ MarkerRe.findAllMatchIn on arbitrary hostile content") {
+    val prop = Prop.forAllNoShrink(hostileGen) { content =>
+      viaScanner(content) == viaRegex(content)
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(2000), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("scanMarkers fixtures: every regex edge the scanner mirrors by hand") {
+    val cases = Seq(
+      "// @author bob (Bob B) tail", // display present
+      "// @author bob", // bare screen at EOF
+      "// @author bob (never closed", // optional group fails: no ')'
+      "// @author bob(Bob)", // paren glued to screen: part of \\S+
+      "// @author  two", // double space: \\S+ fails, no match
+      "// @authorx y", // kind not followed by space
+      "// @mention m (a\nmultiline\ndisplay) x", // [^)]* spans newlines
+      "// @author a (// @mention b) // @mention c", // marker inside display consumed
+      "// @// @author x", // failed start, real match later
+      "// @author // @author y", // screen \"//\" re-forms a prefix
+      "// @author \t", // screen would be empty
+      "// @mention m (x) (y)", // only the first paren group binds
+      "")
+    cases.foreach(c => assert(viaScanner(c) === viaRegex(c), s"case: $c"))
+  }
+
+  // --- the fused tokenizer+hasher vs the String-allocating formulation ---
+
+  private def hashesViaStrings(content: String): Seq[(Long, Long)] = {
+    val m = scala.collection.mutable.LinkedHashMap.empty[Long, Long]
+    Text.tokens(content).foreach { t =>
+      val h = graft.ops.Dedup.xxLane(0, t)
+      m.update(h, m.getOrElse(h, 0L) + 1L)
+    }
+    m.toSeq
+  }
+
+  private val tokenContentGen: Gen[String] = Gen.listOf(Gen.frequency(
+    6 -> Gen.alphaNumChar,
+    2 -> Gen.oneOf(' ', '\n', '.', '_', '-', '(', ')'),
+    1 -> Gen.oneOf('é', 'Ø', 'ß', 'Ω', 'λ', 'Щ', '中', '7', 'Ⅻ'),
+    1 -> Gen.oneOf('\uD83D', '\uDE00', ' '))) // lone surrogates + nbsp
+    .map(_.mkString)
+
+  test("tokenHashCounts ≡ Text.tokens + xxLane bit-exactly, non-ASCII included") {
+    val prop = Prop.forAllNoShrink(tokenContentGen) { content =>
+      Scan.tokenHashCounts(content) == hashesViaStrings(content)
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(2000), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("tokenHashCounts fixtures: long tokens grow the buffer; order and counts") {
+    val cases = Seq(
+      "a" * 500 + " " + "b" * 1000 + " a b a", // buffer growth + counts
+      "中文 tokens mixed with ascii 中文",
+      "CamelCase UPPER lower 123abc",
+      "", "   ", "\n\t")
+    cases.foreach(c =>
+      assert(Scan.tokenHashCounts(c) === hashesViaStrings(c), s"case: $c"))
+  }
+
   test("divergence pin (a): a display name containing a marker is consumed") {
     // A marker INSIDE a display name is swallowed by the enclosing
     // annotation's display group in the single pass; the independent

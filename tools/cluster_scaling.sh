@@ -29,7 +29,7 @@ submit() { # submit <totalCores>
     --master spark://localhost:7077 \
     --driver-memory 16g \
     --conf spark.executor.cores=4 \
-    --conf spark.executor.memory=8g \
+    --conf spark.executor.memory="${EXEC_MEM:-8g}" \
     --conf spark.cores.max="$1" \
     --conf spark.sql.shuffle.partitions="$1" \
     --conf spark.local.dir=/dev/shm/spark-local \
