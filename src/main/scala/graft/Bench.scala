@@ -29,7 +29,18 @@ object Bench {
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    val results = selected.map { case (name, fn) =>
+    // kg_* queries share ONE memoized pipeline run per scale; whichever kg
+    // query happens to run first pays the whole fill (~70-80% of its
+    // reading). Fill the memo as an explicitly-timed line item instead so
+    // every per-query number measures the query itself (the sweep total is
+    // unchanged — the cost moves, it doesn't disappear).
+    val prefill =
+      if (selected.exists(_._1.startsWith("kg_"))) {
+        val t0 = System.nanoTime()
+        KgQueries.result(spark, sfDir) // eager: scan + dims + aligned.count
+        Seq(("kg__shared_pipeline_fill", (System.nanoTime() - t0) / 1e9, 0L))
+      } else Seq.empty
+    val results = prefill ++ selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val n = try fn(spark, sfDir).count() catch {
         case e: Throwable =>

@@ -436,8 +436,19 @@ object Scorer {
       gold: DataFrame): DataFrame = {
     val g = gold.filter(col("accountId") >= 0)
       .select(col("entity").as("entity_id"), col("accountId").as("account_id"))
+    // the union below references the rollup in 2 branches and the candidate
+    // frame in 3 — and NEITHER is persisted by its producer, so each branch
+    // re-evaluates the full dictionary-join → rollup (→ top-K) chain (the
+    // whole diagnostic ran ~5 chain evaluations; 17 s of a 69 s bench sweep).
+    // Lazily checkpoint the NARROW key projections once: the chains run once
+    // each and every branch reads 2-3 tiny columns; ContextCleaner releases
+    // the blocks on GC (same pattern as rollupAll's internal checkpoints).
     val rollupKeys = rollupAll.select(col("entity_id"), col("account_id"))
-    val candKeys = candidates.select(col("entity_id"), col("account_id"))
+      .localCheckpoint(false)
+    val candKeyRank = candidates
+      .select(col("entity_id"), col("account_id"), col("rank"))
+      .localCheckpoint(false)
+    val candKeys = candKeyRank.select(col("entity_id"), col("account_id"))
     def scalarRow(df: DataFrame, stat: String): DataFrame =
       df.agg(count(lit(1)).as("n"))
         .select(lit(stat).as("stat"), lit(-1L).as("ord"), col("n"))
@@ -453,11 +464,10 @@ object Scorer {
       g.join(rollupKeys, Seq("entity_id", "account_id"), "left_semi")
         .join(candKeys, Seq("entity_id", "account_id"), "left_anti"),
       "cutoff_loss")
-    val maxCand = candidates.groupBy(col("entity_id")).agg(count(lit(1)).as("c"))
+    val maxCand = candKeyRank.groupBy(col("entity_id")).agg(count(lit(1)).as("c"))
       .agg(coalesce(max(col("c")), lit(0L)).as("n"))
       .select(lit("max_candidates").as("stat"), lit(-1L).as("ord"), col("n"))
-    val hist = g.join(candidates.select(col("entity_id"), col("account_id"),
-        col("rank")), Seq("entity_id", "account_id"))
+    val hist = g.join(candKeyRank, Seq("entity_id", "account_id"))
       .groupBy(col("rank"))
       .agg(count(lit(1)).as("n"))
       .select(lit("order_hist").as("stat"), col("rank").cast("long").as("ord"),
