@@ -20,7 +20,7 @@ object Scaling {
     // many dispatcher threads and OOMs the JVM before any job runs)
     require(cores >= 1 && cores <= 1024, s"implausible local core count: $cores")
     new java.io.File("/dev/shm/spark-local").mkdirs()
-    val s = SparkSession.builder()
+    val b = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(s"graft-scaling-$cores")
       // tmpfs for shuffle files: the sandbox's cloud disk serializes
@@ -34,7 +34,14 @@ object Scaling {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // measurement hook for conf A/Bs (e.g. compression codecs):
+    //   GRAFT_EXTRA_CONF="spark.io.compression.codec=zstd,spark.sql.parquet.compression.codec=zstd"
+    sys.env.get("GRAFT_EXTRA_CONF").toSeq
+      .flatMap(_.split(',')).filter(_.contains('='))
+      .foreach { kv =>
+        val Array(k, v) = kv.split("=", 2); b.config(k.trim, v.trim)
+      }
+    val s = b.getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
   }
