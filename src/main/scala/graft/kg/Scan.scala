@@ -103,18 +103,79 @@ object Scan {
 
   private val TokenHashSeed = graft.ops.Dedup.laneSeed(0)
 
+  /** Insertion-ordered open-addressing long→long counter — the primitive
+    * replacement for the LinkedHashMap the token histogram used to
+    * accumulate into, which boxed two Longs and allocated an Entry node
+    * per token occurrence across every file of the corpus. Flat arrays,
+    * linear probing (keys are XXH64 outputs, already uniformly mixed),
+    * first-seen order tracked in a slot list so `emit` reproduces
+    * LinkedHashMap's insertion-ordered toSeq EXACTLY (ScanKernelSpec's
+    * bit-equality gate covers order). One instance per executor thread via
+    * [[Scan.tokenCounter]], reset between rows by clearing only the
+    * touched slots.
+    */
+  private[kg] final class TokenCounter {
+    private var cap = 1024 // power of two
+    private var keys = new Array[Long](cap)
+    private var vals = new Array[Long](cap)
+    private var occ = new Array[Boolean](cap)
+    private var order = new Array[Int](256)
+    private var n = 0
+
+    private def grow(): Unit = {
+      val ok = keys; val ov = vals; val oo = order; val on = n
+      cap <<= 1
+      keys = new Array[Long](cap); vals = new Array[Long](cap)
+      occ = new Array[Boolean](cap)
+      order = new Array[Int](math.max(order.length, on * 2))
+      n = 0
+      var i = 0
+      while (i < on) { add(ok(oo(i)), ov(oo(i))); i += 1 }
+    }
+
+    def add(h: Long, by: Long): Unit = {
+      if (n * 2 >= cap) grow()
+      val mask = cap - 1
+      var idx = (h & mask).toInt
+      while (occ(idx) && keys(idx) != h) idx = (idx + 1) & mask
+      if (occ(idx)) vals(idx) += by
+      else {
+        occ(idx) = true; keys(idx) = h; vals(idx) = by
+        if (n == order.length) order = java.util.Arrays.copyOf(order, n * 2)
+        order(n) = idx; n += 1
+      }
+    }
+
+    /** First-seen-order (hash, count) rows; resets the counter for reuse. */
+    def emitAndReset(): Seq[(Long, Long)] = {
+      val b = Seq.newBuilder[(Long, Long)]
+      b.sizeHint(n)
+      var i = 0
+      while (i < n) {
+        val s = order(i); b += ((keys(s), vals(s))); occ(s) = false; i += 1
+      }
+      n = 0
+      b.result()
+    }
+  }
+
+  private val tokenCounter =
+    ThreadLocal.withInitial[TokenCounter](() => new TokenCounter)
+
   /** Fused tokenizer+hasher: one pass over content, lowercasing
     * letter-or-digit runs (Text.tokens' exact token rule) and UTF-8-encoding
     * them into a reusable buffer hashed with the SAME XXH64 lane-0 kernel as
     * `Dedup.xxLane` — zero per-token String/StringBuilder/UTF8String
-    * allocation. Token chars are always BMP non-surrogates (surrogate code
-    * units fail isLetterOrDigit and break the token, as in Text.tokens), so
-    * the manual 1-3-byte encoding matches UTF8String.fromString exactly;
-    * ScanKernelSpec property-tests bit-equality against
-    * `Text.tokens + xxLane`, non-ASCII letters included.
+    * allocation, and counts accumulate in the thread-local primitive
+    * [[TokenCounter]] (no per-token boxing either). Token chars are always
+    * BMP non-surrogates (surrogate code units fail isLetterOrDigit and
+    * break the token, as in Text.tokens), so the manual 1-3-byte encoding
+    * matches UTF8String.fromString exactly; ScanKernelSpec property-tests
+    * bit-equality against `Text.tokens + xxLane`, non-ASCII letters
+    * included.
     */
   private[kg] def tokenHashCounts(content: String): Seq[(Long, Long)] = {
-    val m = scala.collection.mutable.LinkedHashMap.empty[Long, Long]
+    val m = tokenCounter.get()
     var buf = new Array[Byte](128)
     var len = 0
     val L = content.length
@@ -139,12 +200,12 @@ object Scan {
         val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
           buf, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, len,
           TokenHashSeed)
-        m.update(h, m.getOrElse(h, 0L) + 1L)
+        m.add(h, 1L)
         len = 0
       }
       i += 1
     }
-    m.toSeq
+    m.emitAndReset()
   }
 
   /** Per-file products. `tok` is populated only for authored files (the
