@@ -162,30 +162,15 @@ object Features {
   }
 
   /** Compiled per-pair TF-IDF cosine between two token-SORTED (token, w)
-    * entry arrays with precomputed norms: a sorted-merge dot product (one
-    * pass, no per-entry lambda interpretation — this sits on the widest
-    * frame of the pipeline). The merge visits entity tokens in ascending
-    * order, exactly the fold order of the scalar oracle.
+    * entry arrays with precomputed norms: a sorted-merge dot product as a
+    * native codegen expression (functions/VectorKernels.scala — this sits
+    * on the widest frame of the pipeline; the previous Scala-UDF form
+    * converted both entry arrays to Seq[Row] per pair). The merge visits
+    * entity tokens in ascending order, exactly the fold order of the
+    * scalar oracle; null/missing inputs score 0.0 like the old coalesce.
     */
-  private val textCosUdf = udf(
-    (etw: Seq[org.apache.spark.sql.Row], en: Double,
-     atw: Seq[org.apache.spark.sql.Row], an: Double) => {
-      if (etw == null || atw == null || en <= 0 || an <= 0) 0.0
-      else {
-        var i = 0; var j = 0; var dot = 0.0
-        while (i < etw.length && j < atw.length) {
-          val eh = etw(i).getLong(0); val ah = atw(j).getLong(0)
-          if (eh == ah) {
-            dot += etw(i).getDouble(1) * atw(j).getDouble(1); i += 1; j += 1
-          } else if (eh < ah) i += 1
-          else j += 1
-        }
-        dot / (en * an)
-      }
-    })
-
   def textCosCol(eVec: Column, eNorm: Column, aVec: Column, aNorm: Column): Column =
-    coalesce(textCosUdf(eVec, eNorm, aVec, aNorm), lit(0.0))
+    graft.functions.VectorKernels.textCosine(eVec, eNorm, aVec, aNorm)
 
   // ---------------------------------------------------------------- graph
 

@@ -67,15 +67,14 @@ object Scorer {
     Text.tokens(s).distinct.map(graft.ops.Dedup.xxLane(0, _)).distinct.toSeq)
 
   /** Mean Jaro-Winkler of the candidate name vs all (pre-normalized) entity
-    * names — F5 as a fold over the names array with the codegen expression.
+    * names — F5 as a native codegen fold over the names array
+    * (functions/VectorKernels.scala; the previous `aggregate` higher-order
+    * form was interpreted — ArrayAggregate is CodegenFallback — on the
+    * per-pair frame). Same ascending-index fold and sum/size division;
+    * null/empty names or null candidate → 0.0 like the old coalesce.
     */
   def nameSimCol(namesNorm: Column, candNorm: Column): Column =
-    coalesce(
-      when(size(namesNorm) > 0,
-        aggregate(namesNorm, lit(0.0),
-          (acc, n) => acc + graft.functions.JaroWinkler.jaroWinkler(n, candNorm)) /
-          size(namesNorm).cast("double")),
-      lit(0.0))
+    graft.functions.VectorKernels.nameSim(namesNorm, candNorm)
 
   /** Per-pair feature table (entity_id, account_id, screen_name, freq,
     * name_sim, text_cos, desc_overlap, sg_cos, log_followers, log_freq,

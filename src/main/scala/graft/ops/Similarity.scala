@@ -22,14 +22,16 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Cosine similarity of two array<numeric> columns via built-ins. */
-  def cosineCol(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
-    val na = aggregate(a, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double"))
-    val nb = aggregate(b, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double"))
-    when(na === 0.0 || nb === 0.0, 0.0).otherwise(dot / (sqrt(na) * sqrt(nb)))
-  }
+  /** Cosine similarity of two array<double|float> columns — a one-pass
+    * native codegen kernel (functions/VectorKernels.scala). The previous
+    * aggregate/zip_with formulation was interpreted (higher-order functions
+    * are CodegenFallback) and walked each array three times; the kernel
+    * keeps each accumulator's ascending-index IEEE fold, so results are
+    * bit-identical (VectorKernelsSpec pins this, the ann/dedup oracle
+    * replays gate it end-to-end).
+    */
+  def cosineCol(a: Column, b: Column): Column =
+    graft.functions.VectorKernels.cosineSim(a, b)
 
   /** Exact top-k by cosine for each query vector.
     * queries(query_id, embedding) is broadcast; corpus(vec_id, embedding).
