@@ -29,16 +29,31 @@ object Dictionary {
   val splitNameUdf =
     udf((s: String) => Text.splitName(s))
 
-  /** dictionary(name, account_id, freq) */
+  /** dictionary(name, account_id, freq).
+    *
+    * Two-phase aggregation so the normalization UDF runs once per DISTINCT
+    * (display_name, account) pair, not once per mention: splitName costs
+    * two regex replaceAll + a regex split, and the mention stream carries
+    * each display form millions of times (display forms are bounded by
+    * |accounts| × render variants, the stream grows with the corpus). The
+    * raw-form pre-aggregate map-side combines before its shuffle exactly
+    * like the old single groupBy did, then the split + re-sum runs on the
+    * tiny distinct frame. freq is an exact integer re-sum over a
+    * deterministic per-form split, so the output is row-identical
+    * (kg_dictionary's DuckDB replay and the scalar-oracle specs gate it).
+    */
   def build(spark: SparkSession, mentions: DataFrame, accounts: DataFrame): DataFrame = {
     val accs = accounts.select(col("screenName").as("screen_name"),
       col("accountId").as("account_id"))
     mentions
       .join(broadcast(accs), Seq("screen_name"), "inner")
-      .select(splitNameUdf(col("display_name")).as("name"), col("account_id"))
+      .groupBy(col("display_name"), col("account_id"))
+      .agg(count(lit(1)).as("raw_freq"))
+      .select(splitNameUdf(col("display_name")).as("name"), col("account_id"),
+        col("raw_freq"))
       .filter(length(col("name")) >= 3) // AllNamesStrategy.java:75 exclusion
       .groupBy(col("name"), col("account_id"))
-      .agg(count(lit(1)).as("freq"))
+      .agg(sum(col("raw_freq")).as("freq"))
   }
 
 }
