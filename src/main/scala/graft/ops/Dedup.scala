@@ -414,7 +414,10 @@ object Dedup {
   def normText(text: String): String =
     if (text == null) "" else text.toLowerCase.replaceAll("\\s+", " ").trim
 
-  /** Distinct character n-grams of the normalized text. */
+  /** Distinct character n-grams of the normalized text. Kept as the
+    * readable formulation the scalar kernels below are property-pinned to
+    * (NgramKernelSpec); the hot paths no longer call it.
+    */
   def charGrams(text: String, n: Int): Array[String] = {
     val norm = normText(text)
     if (norm.length < n) Array(norm)
@@ -428,11 +431,127 @@ object Dedup {
     }
   }
 
+  /** Java-regex `\s` (ASCII-only: space, \t, \n, \x0B, \f, \r). */
+  private def isRegexWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
+  /** Normalized chars of `text` as (buffer, length) — bit-identical to
+    * [[normText]] but one allocation-free pass for ASCII inputs
+    * (lowercase, collapse regex-\s runs to one space, trim). Any char
+    * ≥ 0x80 falls back to the String pipeline: String.toLowerCase is
+    * locale- and length-unstable outside ASCII (Turkish dotted I, ß→ss
+    * never, İ→i+combining dot) and Java's \s is ASCII-only, so the
+    * per-char form is exact ONLY below 0x80. NgramKernelSpec
+    * property-pins the equality, non-ASCII and whitespace runs included.
+    */
+  private[ops] def normChars(text: String): (Array[Char], Int) = {
+    if (text == null) return (Array.emptyCharArray, 0)
+    val L = text.length
+    var ascii = true
+    var i = 0
+    while (ascii && i < L) { if (text.charAt(i) >= 0x80) ascii = false; i += 1 }
+    if (!ascii) { val s = normText(text); return (s.toCharArray, s.length) }
+    val out = new Array[Char](L)
+    var len = 0
+    var pendingSpace = false
+    i = 0
+    while (i < L) {
+      val c = text.charAt(i)
+      if (isRegexWs(c)) pendingSpace = len > 0 // a leading run is trimmed
+      else {
+        if (pendingSpace) { out(len) = ' '; len += 1; pendingSpace = false }
+        out(len) = if (c >= 'A' && c <= 'Z') (c + 32).toChar else c
+        len += 1
+      }
+      i += 1
+    } // a trailing whitespace run leaves pendingSpace set and unflushed = trim
+    (out, len)
+  }
+
+  /** FNV-1a 64 over chars [start, end) — ≡ `fnv1a(s.substring(start, end))`
+    * without the substring.
+    */
+  private def fnvWindow(cs: Array[Char], start: Int, end: Int): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = start
+    while (i < end) { h ^= cs(i).toLong; h *= 0x100000001b3L; i += 1 }
+    h
+  }
+
+  /** Bit-identical to `minhashBandMins(charGrams(text, n), lanes, bands)`
+    * with zero per-gram allocation: FNV-1a runs over char windows of the
+    * normalized text in place (FNV over substring chars ≡ FNV over the
+    * window), and duplicate grams are not deduped because a duplicate
+    * cannot change a lane MIN — charGrams' LinkedHashSet existed only to
+    * shrink the gram array it materialized. Property-pinned by
+    * NgramKernelSpec.
+    */
+  def ngramBandMinsOf(text: String, n: Int, lanes: Int, bands: Int): Array[Array[Long]] = {
+    val (cs, len) = normChars(text)
+    val w = if (len < n) len else n // <n chars → the single whole-text gram
+    val nWin = if (len < n) 1 else len - n + 1
+    val mins = Array.fill(lanes)(-1L) // unsigned max
+    var s = 0
+    while (s < nWin) {
+      val f = fnvWindow(cs, s, s + w)
+      var l = 0
+      while (l < lanes) {
+        val h = graft.kg.CorpusGen.mix(f ^ laneConst(l))
+        if (java.lang.Long.compareUnsigned(h, mins(l)) < 0) mins(l) = h
+        l += 1
+      }
+      s += 1
+    }
+    val rows = lanes / bands
+    Array.tabulate(bands)(b => mins.slice(b * rows, (b + 1) * rows))
+  }
+
+  /** Bit-identical to `hashedSet(charGrams(text, n))` (DISTINCT sorted
+    * lane-0 XXH64 gram hashes) without per-gram substring/UTF8String
+    * churn: an all-ASCII normalized text is UTF-8-encoded ONCE (byte ==
+    * char below 0x80) and every window hashes in place via
+    * XXH64.hashUnsafeBytes at an offset; any char ≥ 0x80 falls back to
+    * per-window strings (window UTF-8 splicing is not surrogate-safe).
+    * Sort-then-adjacent-dedupe ≡ `.distinct` + sort on the hash values —
+    * the original dedupes AFTER hashing too, so hash-value identity is
+    * the exact invariant either way. Property-pinned by NgramKernelSpec.
+    */
+  def ngramHashedSetOf(text: String, n: Int): Array[Long] = {
+    val (cs, len) = normChars(text)
+    val w = if (len < n) len else n
+    val nWin = if (len < n) 1 else len - n + 1
+    val hs = new Array[Long](nWin)
+    var ascii = true
+    var i = 0
+    while (ascii && i < len) { if (cs(i) >= 0x80) ascii = false; i += 1 }
+    if (ascii) {
+      val bytes = new Array[Byte](len)
+      i = 0
+      while (i < len) { bytes(i) = cs(i).toByte; i += 1 }
+      var s = 0
+      while (s < nWin) {
+        hs(s) = XXH64.hashUnsafeBytes(bytes,
+          org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + s, w, laneSeed(0))
+        s += 1
+      }
+    } else {
+      var s = 0
+      while (s < nWin) { hs(s) = xxLane(0, new String(cs, s, w)); s += 1 }
+    }
+    java.util.Arrays.sort(hs)
+    var out = 0
+    i = 0
+    while (i < nWin) {
+      if (out == 0 || hs(out - 1) != hs(i)) { hs(out) = hs(i); out += 1 }
+      i += 1
+    }
+    if (out == nWin) hs else java.util.Arrays.copyOf(hs, out)
+  }
+
   /** signatures(doc_id, band_id, band_hash) over character-n-gram sets. */
   def ngramBands(docs: DataFrame, n: Int = 4, lanes: Int = 16,
       bands: Int = 4): DataFrame = {
-    val bandsUdf = udf((text: String) =>
-      minhashBandMins(charGrams(text, n), lanes, bands))
+    val bandsUdf = udf((text: String) => ngramBandMinsOf(text, n, lanes, bands))
     docs.select(col("doc_id"), posexplode(bandsUdf(col("text"))).as(Seq("band_id", "band_hash")))
   }
 
@@ -449,7 +568,7 @@ object Dedup {
   def ngramJaccard(docs: DataFrame, n: Int = 4, threshold: Double = 0.8,
       lanes: Int = 16, bands: Int = 4, bucketCap: Int = 256,
       exactPrepass: Boolean = true): DataFrame = {
-    val gramsUdf = udf((text: String) => hashedSet(charGrams(text, n)))
+    val gramsUdf = udf((text: String) => ngramHashedSetOf(text, n))
     def core(d: DataFrame): DataFrame = {
       val pairs = candidatePairs(ngramBands(d, n, lanes, bands), bucketCap)
       val candIds = pairs.select(col("doc_a").as("doc_id"))
@@ -469,7 +588,7 @@ object Dedup {
 
   /** Exact all-pairs n-gram Jaccard over a SMALL doc set (ground truth). */
   def ngramBrute(docs: DataFrame, n: Int = 4, threshold: Double = 0.8): DataFrame = {
-    val gramsUdf = udf((text: String) => hashedSet(charGrams(text, n)))
+    val gramsUdf = udf((text: String) => ngramHashedSetOf(text, n))
     val sets = docs.select(col("doc_id"), gramsUdf(col("text")).as("sset"))
     bruteMatches(sets, threshold, "doc_a", "doc_b", "jaccard")
   }
