@@ -190,6 +190,32 @@ object Dedup {
       .distinct()
   }
 
+  /** Lossless size-ratio prune for set-Jaccard candidate pairs:
+    * J(A,B) = |A∩B| / |A∪B| ≤ min(|A|,|B|) / max(|A|,|B|), so a pair whose
+    * set-size ratio is below the threshold can NEVER verify — drop it
+    * before the expensive array join. The explosion this guards against
+    * is real: char-4-gram bands on the sf0.1 documents emit 191,809
+    * candidates for 256 final pairs (OpsProfile), and every candidate row
+    * would otherwise carry BOTH gram arrays through the verify join; the
+    * size join carries one int per doc instead. The 1e-9 slack keeps a
+    * pair exactly AT the threshold from being lost to float rounding of
+    * the ratio (the verify's own inter/union division is 1-ulp exact, so
+    * nothing below threshold−1e-9 can round up to ≥ threshold). No
+    * broadcast hint: sizes is O(candidate docs) — unbounded at corpus
+    * scale — and the pair ids shuffle narrowly either way; AQE picks the
+    * strategy that fits at runtime.
+    */
+  private def sizePrunedPairs(pairs: DataFrame, sets: DataFrame,
+      setCol: String, threshold: Double): DataFrame = {
+    val sizes = sets.select(col("doc_id"), size(col(setCol)).as("sz"))
+    pairs
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), Seq("doc_b"))
+      .filter(least(col("sz_a"), col("sz_b")).cast("double") /
+        greatest(col("sz_a"), col("sz_b")).cast("double") >= lit(threshold - 1e-9))
+      .select(col("doc_a"), col("doc_b"))
+  }
+
   /** Buckets dropped by `bucketCap` (diagnostic surface — "no silent caps"):
     * (band_id, band_hash, bucket_sz) for every hot bucket.
     */
@@ -290,9 +316,12 @@ object Dedup {
       val pairs = candidatePairs(minhashBands(d, shingleK, lanes, bands), bucketCap)
       val candIds = pairs.select(col("doc_a").as("doc_id"))
         .unionByName(pairs.select(col("doc_b").as("doc_id"))).distinct()
+      // localCheckpoint: feeds the size prune + both verify-join sides —
+      // without it the shingle kernel re-runs per consumer.
       val sets = d.join(candIds, Seq("doc_id"), "left_semi")
         .select(col("doc_id"), setUdf(col("text")).as("sset"))
-      pairs
+        .localCheckpoint(true)
+      sizePrunedPairs(pairs, sets, "sset", threshold)
         .join(sets.select(col("doc_id").as("doc_a"), col("sset").as("set_a")), Seq("doc_a"))
         .join(sets.select(col("doc_id").as("doc_b"), col("sset").as("set_b")), Seq("doc_b"))
         .withColumn("jaccard", jaccardUdf(col("set_a"), col("set_b")))
@@ -573,9 +602,12 @@ object Dedup {
       val pairs = candidatePairs(ngramBands(d, n, lanes, bands), bucketCap)
       val candIds = pairs.select(col("doc_a").as("doc_id"))
         .unionByName(pairs.select(col("doc_b").as("doc_id"))).distinct()
+      // localCheckpoint: feeds the size prune + both verify-join sides —
+      // without it the gram kernel re-runs per consumer.
       val sets = d.join(candIds, Seq("doc_id"), "left_semi")
         .select(col("doc_id"), gramsUdf(col("text")).as("grams"))
-      pairs
+        .localCheckpoint(true)
+      sizePrunedPairs(pairs, sets, "grams", threshold)
         .join(sets.select(col("doc_id").as("doc_a"), col("grams").as("grams_a")), Seq("doc_a"))
         .join(sets.select(col("doc_id").as("doc_b"), col("grams").as("grams_b")), Seq("doc_b"))
         .withColumn("jaccard", jaccardUdf(col("grams_a"), col("grams_b")))
