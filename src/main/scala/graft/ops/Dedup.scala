@@ -285,6 +285,125 @@ object Dedup {
       .otherwise(transform(sequence(lit(0), size(tokens) - k),
         i => concat_ws(" ", slice(tokens, i + 1, lit(k)))))
 
+  /** Lowercased ASCII token stream of `text` as ONE UTF-8 byte buffer with
+    * a single space between tokens — the window representation behind the
+    * shingle kernels: token i occupies buf[starts(i), ends(i)), and the
+    * k-shingle at i is the CONTIGUOUS range buf[starts(i), ends(i+k-1))
+    * because the separators in the buffer are exactly the single spaces
+    * `mkString(" ")` would insert. Returns null when any char ≥ 0x80
+    * (String.toLowerCase is locale/length-unstable outside ASCII — callers
+    * fall back to the String pipeline, same policy as [[normChars]]).
+    */
+  private final class TokenStream(val buf: Array[Byte], val starts: Array[Int],
+      val ends: Array[Int], val n: Int)
+
+  private def asciiTokenStream(text: String): TokenStream = {
+    val t = if (text == null) "" else text
+    val L = t.length
+    // pass 1: sizes
+    var i = 0; var nTok = 0; var bufLen = 0; var inTok = false
+    while (i < L) {
+      val c = t.charAt(i)
+      if (c >= 0x80) return null
+      val lc = if (c >= 'A' && c <= 'Z') (c + 32).toChar else c
+      if ((lc >= 'a' && lc <= 'z') || (lc >= '0' && lc <= '9')) {
+        if (!inTok) { nTok += 1; if (nTok > 1) bufLen += 1; inTok = true }
+        bufLen += 1
+      } else inTok = false
+      i += 1
+    }
+    val buf = new Array[Byte](bufLen)
+    val starts = new Array[Int](math.max(nTok, 1))
+    val ends = new Array[Int](math.max(nTok, 1))
+    // pass 2: fill
+    i = 0; var w = 0; var ti = -1; inTok = false
+    while (i < L) {
+      val c = t.charAt(i)
+      val lc = if (c >= 'A' && c <= 'Z') (c + 32).toChar else c
+      if ((lc >= 'a' && lc <= 'z') || (lc >= '0' && lc <= '9')) {
+        if (!inTok) {
+          if (ti >= 0) { buf(w) = ' '.toByte; w += 1 }
+          ti += 1; starts(ti) = w; inTok = true
+        }
+        buf(w) = lc.toByte; w += 1; ends(ti) = w
+      } else inTok = false
+      i += 1
+    }
+    new TokenStream(buf, starts, ends, nTok)
+  }
+
+  /** FNV-1a 64 over ASCII bytes [start, end) — ≡ [[fnv1a]] of the same
+    * chars (byte value == char value below 0x80).
+    */
+  private def fnvBytes(buf: Array[Byte], start: Int, end: Int): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = start
+    while (i < end) { h ^= (buf(i) & 0xFFL); h *= 0x100000001b3L; i += 1 }
+    h
+  }
+
+  /** Shingle (i, k) byte range [start, end) in a token stream; the <k-token
+    * (or zero-token) doc collapses to the single whole-stream shingle,
+    * mirroring tokenShingles' mkString fallback.
+    */
+  @inline private def shingleRange(ts: TokenStream, i: Int, k: Int): (Int, Int) =
+    if (ts.n == 0) (0, 0)
+    else if (ts.n < k) (ts.starts(0), ts.ends(ts.n - 1))
+    else (ts.starts(i), ts.ends(i + k - 1))
+
+  /** Bit-identical to `minhashBandMins(tokenShingles(tokensOf(text), k),
+    * lanes, bands)` with zero per-token/per-shingle allocation: FNV-1a
+    * runs over contiguous byte windows of the token stream (duplicates
+    * can't change a lane min). Property-pinned by ShingleKernelSpec.
+    */
+  def shingleBandMinsOf(text: String, k: Int, lanes: Int, bands: Int): Array[Array[Long]] = {
+    val ts = asciiTokenStream(text)
+    if (ts == null) return minhashBandMins(tokenShingles(tokensOf(text), k), lanes, bands)
+    val mins = Array.fill(lanes)(-1L) // unsigned max
+    val nSh = if (ts.n < k) 1 else ts.n - k + 1
+    var i = 0
+    while (i < nSh) {
+      val (s, e) = shingleRange(ts, i, k)
+      val f = fnvBytes(ts.buf, s, e)
+      var l = 0
+      while (l < lanes) {
+        val h = graft.kg.CorpusGen.mix(f ^ laneConst(l))
+        if (java.lang.Long.compareUnsigned(h, mins(l)) < 0) mins(l) = h
+        l += 1
+      }
+      i += 1
+    }
+    val rows = lanes / bands
+    Array.tabulate(bands)(b => mins.slice(b * rows, (b + 1) * rows))
+  }
+
+  /** Bit-identical to `hashedSet(tokenShingles(tokensOf(text), k))`:
+    * offset XXH64 over the shingles' contiguous byte windows, then
+    * sort + adjacent-dedupe (≡ hash-then-distinct, as in
+    * [[ngramHashedSetOf]]). Property-pinned by ShingleKernelSpec.
+    */
+  def shingleHashedSetOf(text: String, k: Int): Array[Long] = {
+    val ts = asciiTokenStream(text)
+    if (ts == null) return hashedSet(tokenShingles(tokensOf(text), k))
+    val nSh = if (ts.n < k) 1 else ts.n - k + 1
+    val hs = new Array[Long](nSh)
+    var i = 0
+    while (i < nSh) {
+      val (s, e) = shingleRange(ts, i, k)
+      hs(i) = XXH64.hashUnsafeBytes(ts.buf,
+        org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + s, e - s, laneSeed(0))
+      i += 1
+    }
+    java.util.Arrays.sort(hs)
+    var out = 0
+    i = 0
+    while (i < nSh) {
+      if (out == 0 || hs(out - 1) != hs(i)) { hs(out) = hs(i); out += 1 }
+      i += 1
+    }
+    if (out == nSh) hs else java.util.Arrays.copyOf(hs, out)
+  }
+
   /** signatures(doc_id, band_id, band_hash: array<long>): H minhash lanes
     * split into `bands` bands of H/bands lane-mins each (standard
     * MinHash+LSH banding; the band key is the lane-min array). One
@@ -292,13 +411,11 @@ object Dedup {
     */
   def minhashBands(docs: DataFrame, shingleK: Int = 3, lanes: Int = 16,
       bands: Int = 4): DataFrame = {
-    val bandsUdf = udf((text: String) =>
-      minhashBandMins(tokenShingles(tokensOf(text), shingleK), lanes, bands))
+    val bandsUdf = udf((text: String) => shingleBandMinsOf(text, shingleK, lanes, bands))
     docs.select(col("doc_id"), posexplode(bandsUdf(col("text"))).as(Seq("band_id", "band_hash")))
   }
 
-  private val shingleSetUdf3 = udf((text: String) =>
-    hashedSet(tokenShingles(tokensOf(text), 3)))
+  private val shingleSetUdf3 = udf((text: String) => shingleHashedSetOf(text, 3))
 
   private val jaccardUdf = udf((a: Seq[Long], b: Seq[Long]) =>
     sortedJaccard(longArr(a), longArr(b)))
@@ -311,7 +428,7 @@ object Dedup {
       exactPrepass: Boolean = true): DataFrame = {
     val setUdf =
       if (shingleK == 3) shingleSetUdf3
-      else udf((text: String) => hashedSet(tokenShingles(tokensOf(text), shingleK)))
+      else udf((text: String) => shingleHashedSetOf(text, shingleK))
     def core(d: DataFrame): DataFrame = {
       val pairs = candidatePairs(minhashBands(d, shingleK, lanes, bands), bucketCap)
       val candIds = pairs.select(col("doc_a").as("doc_id"))
@@ -369,7 +486,7 @@ object Dedup {
     */
   def minhashBrute(docs: DataFrame, shingleK: Int = 3,
       threshold: Double = 0.7): DataFrame = {
-    val setUdf = udf((text: String) => hashedSet(tokenShingles(tokensOf(text), shingleK)))
+    val setUdf = udf((text: String) => shingleHashedSetOf(text, shingleK))
     val sets = docs.select(col("doc_id"), setUdf(col("text")).as("sset"))
     bruteMatches(sets, threshold, "doc_a", "doc_b", "jaccard")
   }
