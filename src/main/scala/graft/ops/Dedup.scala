@@ -205,7 +205,7 @@ object Dedup {
     * scale — and the pair ids shuffle narrowly either way; AQE picks the
     * strategy that fits at runtime.
     */
-  private def sizePrunedPairs(pairs: DataFrame, sets: DataFrame,
+  private[graft] def sizePrunedPairs(pairs: DataFrame, sets: DataFrame,
       setCol: String, threshold: Double): DataFrame = {
     val sizes = sets.select(col("doc_id"), size(col(setCol)).as("sz"))
     pairs
