@@ -14,8 +14,8 @@ import org.apache.spark.sql.functions._
   *   2. co-occurrence pairs: within a window of `window` tokens, weight
   *      1/offset, emitted symmetrically (l ≤ r), plus self-count 1.0 per
   *      occurrence — one generator UDF + explode, then groupBy-sum (the
-  *      dictionary rides along as a BROADCAST join, reference's
-  *      withBroadcastSet at :75-90).
+  *      dictionary rides along as an explicit driver-map broadcast into a
+  *      map-side encode, reference's withBroadcastSet at :75-90).
   *   3. marginals with dense zero-fill: every id in [0, V) gets a row even
   *      with no mass (A10 — right join against spark.range).
   *   4. shard partitioning for the writer: (l % shards, r % shards) —
@@ -60,15 +60,31 @@ object Cooccurrence {
     out.toSeq
   })
 
-  /** Documents → token-id arrays (dictionary broadcast; out-of-vocabulary
-    * tokens dropped, order preserved via posexplode).
+  /** Documents → token-id arrays (out-of-vocabulary tokens dropped, token
+    * order preserved). The dictionary rides along as an explicit driver-map
+    * broadcast (J9) consumed by a map-side encode UDF: the previous
+    * formulation posexploded one row PER TOKEN through a broadcast join and
+    * then re-assembled the arrays with a groupBy + collect_list +
+    * array_sort — a full token-level shuffle AND sort whose volume is the
+    * corpus token count. Encoding in place shuffles nothing; the only
+    * driver-side cost is collecting the dictionary, which is bounded by
+    * top-V (the same rows the broadcast join shipped to every executor
+    * anyway).
     */
-  def docIds(docs: DataFrame, dict: DataFrame): DataFrame =
-    docs.select(col("doc_id"), posexplode(tokensCol(col("text"))).as(Seq("pos", "token")))
-      .join(broadcast(dict.select(col("token"), col("id"))), Seq("token"))
-      .groupBy(col("doc_id"))
-      .agg(array_sort(collect_list(struct(col("pos"), col("id")))).as("ps"))
-      .select(col("doc_id"), col("ps.id").as("ids"))
+  def docIds(docs: DataFrame, dict: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val idByToken = new java.util.HashMap[String, java.lang.Long]()
+    dict.select(col("token"), col("id").cast("long")).collect()
+      .foreach(r => idByToken.put(r.getString(0), r.getLong(1)))
+    val bc = spark.sparkContext.broadcast(idByToken)
+    val encode = udf { (toks: Seq[String]) =>
+      val m = bc.value
+      val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+      toks.foreach { t => val id = m.get(t); if (id != null) out += id.longValue() }
+      out.toSeq
+    }
+    docs.select(col("doc_id"), encode(tokensCol(col("text"))).as("ids"))
+  }
 
   /** cooc(l, r, weight) with shard columns for partitioned writes. */
   def cooccurrence(docs: DataFrame, dict: DataFrame, window: Int = 10,

@@ -37,6 +37,34 @@ class CoocSkewSpec extends AnyFunSuite with SparkTestBase {
     assert(got == Set((0L, 0L, 13.0), (1L, 1L, 4.0), (0L, 1L, 11.0)))
   }
 
+  test("docIds: map-side encode preserves token order and drops OOV") {
+    import spark.implicits._
+    val docs = Seq((1L, "a z b A a-q c"), (2L, "zz qq"), (3L, ""))
+      .toDF("doc_id", "text")
+    val dict = Seq(("a", 3L, 0L), ("b", 1L, 1L), ("c", 1L, 2L))
+      .toDF("token", "freq", "id")
+    val got = Cooccurrence.docIds(docs, dict)
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toMap
+    // "a-q" splits on the hyphen into in-vocab "a" + OOV "q"; "A" lowers
+    assert(got(1L) == Seq(0L, 1L, 0L, 0L, 2L))
+    // all-OOV and empty docs still get a row (empty ids), matching the
+    // pairsUdf contract (it emits nothing for an empty array)
+    assert(got.get(2L).exists(_.isEmpty) && got.get(3L).exists(_.isEmpty))
+  }
+
+  test("docIds encodes map-side: zero exchanges in the plan") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val dict = Seq(("a", 1L, 0L)).toDF("token", "freq", "id")
+    val plan = Cooccurrence.docIds(docs, dict)
+      .queryExecution.executedPlan.toString
+    // the dictionary is collected to a driver map before planning, so the
+    // encode is a pure projection over docs — the token-level
+    // posexplode → join → collect_list shuffle of the old formulation
+    // must not reappear
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   test("marginals zero-fill covers the whole id space") {
     import spark.implicits._
     val cooc = Seq((0L, 0L, 2.0), (0L, 1L, 1.0)).toDF("l", "r", "weight")
