@@ -25,9 +25,18 @@ export SPARK_PID_DIR=${SPARK_PID_DIR:-target/spark-pids}
 [ -f "$JAR" ] || sbt -batch package
 
 submit() { # submit <totalCores>
+  # AlwaysPreTouch on every JVM: the standalone launcher already passes
+  # -Xms=-Xmx to executors, but without pre-touch each executor still
+  # faults its heap lazily DURING the first jobs — on this guest that is
+  # the dominant noise source (BENCH/raw_r5.md addendum 18: fresh-page
+  # materialization collapses to ~100-170 MiB/s under concurrent
+  # in-process faulting). Pre-touch moves the fault storm to executor
+  # startup, which the Small warm-up run absorbs before anything is timed.
   /opt/spark/bin/spark-submit \
     --master spark://localhost:7077 \
     --driver-memory 16g \
+    --driver-java-options "-Xms16g -XX:+AlwaysPreTouch" \
+    --conf spark.executor.extraJavaOptions="-XX:+AlwaysPreTouch" \
     --conf spark.executor.cores=4 \
     --conf spark.executor.memory="${EXEC_MEM:-8g}" \
     --conf spark.cores.max="$1" \
