@@ -62,8 +62,16 @@ object Scaling {
           jobs.incrementAndGet()
       })
       val t0 = System.nanoTime()
-      val n = Pipeline.triplesForScale(spark, scale).count()
-      ((System.nanoTime() - t0) / 1e9, n, jobs.get())
+      val r = Pipeline.computeForScale(spark, scale)
+      val n = r.triples.count()
+      val res = ((System.nanoTime() - t0) / 1e9, n, jobs.get())
+      // release caches AND the run's scratch parquet (outside the timed
+      // window, like cluster mode): without this every repeat leaks a
+      // multi-GB UUID scratch dir into spark.local.dir — on the tmpfs
+      // local dir that rent comes straight out of guest RAM, and a
+      // multi-repeat 8M-file invocation exhausts it
+      r.unpersist()
+      res
     } finally spark.stop()
   }
 
@@ -93,8 +101,10 @@ object Scaling {
           }
         }
       })
-      val n = Pipeline.triplesForScale(spark, scale).count()
+      val r = Pipeline.computeForScale(spark, scale)
+      val n = r.triples.count()
       println(f"[jobs] total wall ${(System.nanoTime() - t0) / 1e9}%.1f s, $n triples")
+      r.unpersist()
     } finally spark.stop()
   }
 

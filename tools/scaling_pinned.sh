@@ -18,9 +18,15 @@ RUNS=${SCALING_RUNS:-2}
 run_once() { # cores -> prints seconds (min of RUNS, warm JVM)
   local cores=$1
   local last=$((cores - 1))
+  # tee the raw sbt output to a per-level log: a command-substituted
+  # pipeline swallows the JVM's dying words (an OOM-killed level used to
+  # surface only as a bare json.loads traceback with no cause on disk)
+  local log="target/scaling_pinned_${NFILES}_${cores}.log"
   SCALING_RUNS=$RUNS taskset -c 0-$last \
-    sbt -batch "runMain graft.Scaling once $cores $NFILES" 2>&1 |
-    grep -o '{"mode":"once".*}'
+    sbt -batch "runMain graft.Scaling once $cores $NFILES" > "$log" 2>&1 ||
+    { echo "level $cores failed — tail of $log:" >&2; tail -20 "$log" >&2; exit 1; }
+  grep -o '{"mode":"once".*}' "$log" ||
+    { echo "level $cores produced no JSON — tail of $log:" >&2; tail -20 "$log" >&2; exit 1; }
 }
 
 LO_JSON=$(run_once $NLO)
