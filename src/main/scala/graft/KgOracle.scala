@@ -80,8 +80,7 @@ object KgOracle {
     val r = KgQueries.result(spark, sfDir)
     r.alignments.write.mode("overwrite").parquet(s"$d/alignments.parquet")
     r.candidates.write.mode("overwrite").parquet(s"$d/candidates.parquet")
-    kg.CandidateGen.rollupAll(spark,
-        kg.CorpusGen.entities(spark, scale).toDF(), r.dictionary)
+    r.rollup
       .select("entity_id", "account_id")
       .write.mode("overwrite").parquet(s"$d/rollup_keys.parquet")
   }

@@ -157,9 +157,7 @@ object KgQueries {
   val candidateStats: Q = (s, dir) => {
     val scale = scaleFor(dir)
     val r = result(s, dir)
-    val rollup = CandidateGen.rollupAll(s,
-      CorpusGen.entities(s, scale).toDF(), r.dictionary)
-    Scorer.candidateStats(rollup, r.candidates,
+    Scorer.candidateStats(r.rollup, r.candidates,
         CorpusGen.gold(s, scale).toDF())
       .orderBy(col("stat"), col("ord"))
   }

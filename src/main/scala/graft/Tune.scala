@@ -28,8 +28,7 @@ object Tune {
         f"margin=${g.getAs[Double]("margin")}%.1f P=${g.getAs[Double]("precision")}%.4f " +
         f"R=${g.getAs[Double]("recall")}%.4f F1=${g.getAs[Double]("f1")}%.4f")
     }
-    val stats = Scorer.candidateStats(
-      CandidateGen.rollupAll(spark, CorpusGen.entities(spark, scale).toDF(), r.dictionary),
+    val stats = Scorer.candidateStats(r.rollup,
       r.candidates, gold).orderBy(col("stat"), col("ord")).collect()
     stats.take(8).foreach(s => println(s"[tune] stat ${s.mkString(" ")}"))
     // dump per-pair features + gold for offline weight sweeps

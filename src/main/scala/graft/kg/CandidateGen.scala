@@ -230,15 +230,22 @@ object CandidateGen {
     }
   }
 
+  /** The top-K window over an already-built rollup — split out so callers
+    * that keep the rollup (Pipeline exposes it for the A13 diagnostics)
+    * apply the cutoff without rebuilding the ladder.
+    */
+  def topK(rollup: DataFrame, conf: KgConf = KgConf()): DataFrame = {
+    val w = Window.partitionBy(col("entity_id"))
+      .orderBy(col("freq").desc, col("account_id").asc)
+    rollup
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= conf.topK)
+  }
+
   /** candidates(entity_id, account_id, freq, rank) — rank 1..topK per entity,
     * tie-break (freq desc, account_id asc) for reproducible P/R (SURVEY §7.3).
     */
   def candidates(spark: SparkSession, entities: DataFrame, dictionary: DataFrame,
-      conf: KgConf = KgConf()): DataFrame = {
-    val w = Window.partitionBy(col("entity_id"))
-      .orderBy(col("freq").desc, col("account_id").asc)
-    rollupAll(spark, entities, dictionary, conf)
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= conf.topK)
-  }
+      conf: KgConf = KgConf()): DataFrame =
+    topK(rollupAll(spark, entities, dictionary, conf), conf)
 }

@@ -29,8 +29,16 @@ object Pipeline {
       mentions: DataFrame,
       dictionary: DataFrame,
       candidates: DataFrame,
+      rollupThunk: () => DataFrame,
       scan: DataFrame,
       scanPath: Option[String] = None) {
+    /** The pre-top-K candidate rollup (CandidateGen.rollupAll) — the frame
+      * the A13 diagnostics need. A thunk + lazy val because building the
+      * rollup plan runs an eager probe job (the fuzzy-skip check): compute()
+      * passes the frame it already built for candidates, run() defers the
+      * build until a caller actually asks for diagnostics.
+      */
+    lazy val rollup: DataFrame = rollupThunk()
     /** Release the frames compute() persisted (and the scan's scratch
       * parquet) — a long-lived session running many pipelines accumulates
       * cache otherwise (storage eviction then fights execution memory).
@@ -76,7 +84,12 @@ object Pipeline {
     val dimsF = Future {
       Scorer.dims(entities, accounts, scan, accountEmbeddings, entityEmbeddings)
     }
-    val cands = CandidateGen.candidates(spark, entities, dict, conf)
+    // the pre-top-K rollup is exposed on Result so the A13 diagnostics
+    // (Scorer.candidateStats) read the SAME checkpointed frame instead of
+    // re-running the dictionary join + ladder — at corpus scale that
+    // recompute is a full dictionary-sized join paid once per diagnostic
+    val rollup = CandidateGen.rollupAll(spark, entities, dict, conf)
+    val cands = CandidateGen.topK(rollup, conf)
     // alignments feed three consumers (connected components, the triple
     // materialization, and the evaluation surface) — without a persist the
     // whole corpus-scan → dictionary → scoring chain recomputes per
@@ -100,7 +113,8 @@ object Pipeline {
     val lineage = scan
       .select(col("repo"), col("path"), col("commit"), col("content_sha"))
       .distinct()
-    Result(triples, aligned, lineage, mentions, dict, cands, scan, Some(scanPath))
+    Result(triples, aligned, lineage, mentions, dict, cands, () => rollup,
+      scan, Some(scanPath))
   }
 
   /** Auto-select the featurize pair-join strategy by scale: corpora at or
@@ -185,6 +199,7 @@ object Pipeline {
       scan.select(col("repo"), col("path"), col("commit"), col("content_sha"))
         .distinct()
     }
-    Result(triples, aligned, lineage, mentions, dict, cands, scan)
+    Result(triples, aligned, lineage, mentions, dict, cands,
+      () => CandidateGen.rollupAll(spark, entities, dict, conf), scan)
   }
 }
