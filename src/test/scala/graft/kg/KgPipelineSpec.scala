@@ -95,6 +95,23 @@ class KgPipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(cands(3) == cands(11))
   }
 
+  test("Result.rollup is the candidates' own pre-top-K frame, not a drifted rebuild") {
+    // the A13 diagnostics consume Result.rollup — pin that (a) it matches a
+    // from-scratch rollupAll over the same dictionary, and (b) the exported
+    // candidates are exactly its top-K cutoff, so diagnostics and exports
+    // can never disagree about the candidate universe
+    val scale = CorpusGen.Tiny
+    val r = Pipeline.computeForScale(spark, scale)
+    def keyset(df: org.apache.spark.sql.DataFrame): Set[(String, Long, Long)] =
+      df.select(col("entity_id"), col("account_id"), col("freq"))
+        .collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2))).toSet
+    val rebuilt = CandidateGen.rollupAll(spark,
+      CorpusGen.entities(spark, scale).toDF(), r.dictionary)
+    assert(keyset(r.rollup) == keyset(rebuilt))
+    val cutoff = CandidateGen.topK(r.rollup)
+    assert(keyset(cutoff) == keyset(r.candidates))
+  }
+
   test("F20 cross products append pairwise feature products") {
     import spark.implicits._
     val df = Seq((1.0, 2.0, 3.0)).toDF("a", "b", "c")
