@@ -44,9 +44,17 @@ object Canonicalize {
       .distinct()
       .localCheckpoint(true)
 
-    var labels = sym.select(col("src").as("node"))
-      .distinct()
-      .withColumn("comp", col("node"))
+    // seed with round 1's result for free: starting labels are usually
+    // labels₀(node) = node, and the first loop round computes
+    // min(node, min(neighbor ids)) — exactly one aggregation over `sym`,
+    // the same Exchange the old `.distinct()` init paid. Seeding there
+    // skips one full join+union+checkpoint+count round; the remaining
+    // trajectory (and the fixpoint) is identical because min-label
+    // propagation is monotone and this is the loop's own round-1 state.
+    var labels = sym.groupBy(col("src"))
+      .agg(min(col("dst")).as("mind"))
+      .select(col("src").as("node"),
+        least(col("src"), col("mind")).as("comp"))
       .localCheckpoint(true)
 
     var iter = 0
@@ -124,7 +132,10 @@ object Canonicalize {
     // ≤1 row per entity by the star precondition, so the left join below
     // never multiplies rows
     val comps = starComponents(strongEdges(alignments, conf))
-    alignments.select(col("entity_id")).distinct()
+    // rank = 1 ⇔ one row per entity (row_number over the entity partition,
+    // Scorer.score) — the distinct entity set as a map-side filter, no
+    // dedup Exchange over |entities|×topK rows
+    alignments.filter(col("rank") === 1).select(col("entity_id"))
       .join(comps.withColumnRenamed("node", "entity_id"), Seq("entity_id"), "left")
       .select(col("entity_id"), coalesce(col("comp"), col("entity_id")).as("rep"))
   }

@@ -18,22 +18,35 @@ import org.apache.spark.sql.functions._
   */
 object Mentions {
 
-  /** `// @author screen (Display Name)` / `// @mention screen (Display Name)` */
-  private val AnnotationRe = "// @(author|mention) (\\S+) \\(([^)]*)\\)"
-  private val CompiledRe = AnnotationRe.r
+  /** Annotation grammar: `// @author screen (Display Name)` /
+    * `// @mention screen (Display Name)` — the regex form
+    * `// @(author|mention) (\S+) \(([^)]*)\)` lives on in ScanKernelSpec
+    * (property gate) and ScalarOracle (independent replay).
+    */
 
   def withSha(repos: DataFrame): DataFrame =
     repos.withColumn("content_sha", sha2(col("content"), 256))
 
-  /** All annotations of one content string in match order — ONE compiled
-    * regex pass (the equivalent 3× regexp_extract_all formulation scanned
-    * every content string three times; this stage is a full corpus read,
-    * so the pass count is the cost).
+  /** All annotations of one content string in match order — the hand-rolled
+    * marker scanner (Scan.scanMarkers, indexOf-skipping) filtered to
+    * display-carrying matches, which is exactly this regex's match set
+    * (ScanKernelSpec property-pins the kernel's anns against the
+    * AnnotationRe formulation on hostile content; the DuckDB kg_mentions
+    * replay re-derives the rows with a regex cross-engine). The previous
+    * `CompiledRe.findAllMatchIn` walked the NFA over every char of every
+    * content string; the kernel skips between `// @` candidates with the
+    * intrinsified String.indexOf (~3× on the scalar scan, ScanMicro).
     */
   val annotationsUdf = udf((content: String) =>
     if (content == null) Seq.empty[(String, String, String)]
-    else CompiledRe.findAllMatchIn(content)
-      .map(m => (m.group(1), m.group(2), m.group(3))).toSeq)
+    else {
+      val b = Seq.newBuilder[(String, String, String)]
+      Scan.scanMarkers(content) { (isAuthor, screen, display) =>
+        if (display != null)
+          b += ((if (isAuthor) "author" else "mention", screen, display))
+      }
+      b.result()
+    })
 
   /** One output row per annotation occurrence:
     * (repo, path, commit, content_sha, kind, screen_name, display_name).

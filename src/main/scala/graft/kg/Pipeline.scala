@@ -46,6 +46,7 @@ object Pipeline {
     def unpersist(): Unit = {
       alignments.unpersist()
       dictionary.unpersist()
+      candidates.unpersist() // no-op on run()'s checkpoint-backed frame
       scanPath.foreach(Scan.dropScratch(alignments.sparkSession, _))
     }
   }
@@ -89,7 +90,13 @@ object Pipeline {
     // re-running the dictionary join + ladder — at corpus scale that
     // recompute is a full dictionary-sized join paid once per diagnostic
     val rollup = CandidateGen.rollupAll(spark, entities, dict, conf)
+    // persisted (lazily — the scoring chain's first pass fills it): the
+    // candidates frame is consumed by the scorer AND re-read by every
+    // kg_candidates / A13-diagnostics access; without the persist each
+    // access re-runs the top-K window over the rollup checkpoint. Size is
+    // O(|entities| × topK) narrow rows, tiny next to the corpus.
     val cands = CandidateGen.topK(rollup, conf)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // alignments feed three consumers (connected components, the triple
     // materialization, and the evaluation surface) — without a persist the
     // whole corpus-scan → dictionary → scoring chain recomputes per

@@ -274,6 +274,27 @@ object Scan {
     * reads — which Pipeline.run's checkpointed "scan" stage already does;
     * this gives the in-memory compute() path the same materialization.
     */
+  // pending scratch dirs per SparkContext, drained by ONE shared cleanup
+  // listener (drainRegistered pattern, KgQueries.scala) — the previous
+  // form registered a fresh listener per materialize() call, which a
+  // long-lived session running N pipelines accumulated N of (each holding
+  // its path and firing a redundant delete at shutdown)
+  private val pendingScratch =
+    new java.util.WeakHashMap[org.apache.spark.SparkContext,
+      java.util.concurrent.ConcurrentHashMap.KeySetView[String, java.lang.Boolean]]()
+
+  /** Listener count / pending set surface for the cleanup-dedup spec. */
+  private[kg] def pendingScratchCount(sc: org.apache.spark.SparkContext): Int =
+    pendingScratch.synchronized {
+      val s = pendingScratch.get(sc); if (s == null) 0 else s.size()
+    }
+
+  /** Total cleanup listeners ever registered (spec surface: stays at one
+    * per SparkContext no matter how many pipelines run).
+    */
+  private[kg] val drainListenersRegistered =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+
   def materialize(products: DataFrame, dir: String): DataFrame = {
     val spark = products.sparkSession
     products.write.mode("overwrite").parquet(dir)
@@ -282,15 +303,32 @@ object Scan {
     // scratch dir on the local disk FOREVER — observed 70 GB of leaked
     // graft-scan-* dirs across a measurement day. Deleting at application
     // end keeps scratch lifetime ≤ session lifetime; dropScratch stays the
-    // eager release for pipeline callers (it is idempotent, so both firing
-    // is fine). A SIGKILL still leaks — that needs an external sweep, like
-    // any Spark local-dir residue.
-    spark.sparkContext.addSparkListener(
-      new org.apache.spark.scheduler.SparkListener {
-        override def onApplicationEnd(
-            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
-          try dropScratch(spark, dir) catch { case _: Throwable => () }
-      })
+    // eager release for pipeline callers (removing the path from the
+    // pending set, so the drain only deletes what is still live). A
+    // SIGKILL still leaks — that needs an external sweep, like any Spark
+    // local-dir residue.
+    val sc = spark.sparkContext
+    pendingScratch.synchronized {
+      var set = pendingScratch.get(sc)
+      if (set == null) {
+        set = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+        pendingScratch.put(sc, set)
+        drainListenersRegistered.incrementAndGet()
+        sc.addSparkListener(
+          new org.apache.spark.scheduler.SparkListener {
+            override def onApplicationEnd(
+                e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
+              val it = set.iterator()
+              while (it.hasNext) {
+                val d = it.next()
+                try dropScratch(spark, d) catch { case _: Throwable => () }
+              }
+              set.clear()
+            }
+          })
+      }
+      set.add(dir)
+    }
     spark.read.parquet(dir)
   }
 
@@ -304,8 +342,14 @@ object Scan {
     s"$root/graft-scan-${java.util.UUID.randomUUID().toString.take(8)}"
   }
 
-  /** Delete a [[materialize]] scratch dir (Result.unpersist). */
+  /** Delete a [[materialize]] scratch dir (Result.unpersist) and retire it
+    * from the shutdown-drain set.
+    */
   def dropScratch(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    pendingScratch.synchronized {
+      val s = pendingScratch.get(spark.sparkContext)
+      if (s != null) s.remove(dir)
+    }
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) fs.delete(p, true)

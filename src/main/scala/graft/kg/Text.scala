@@ -51,14 +51,21 @@ object Text {
     else name
   }
 
+  // precompiled patterns for splitIdentifier — String.replaceAll/split
+  // compile their regex on EVERY call, and this function runs once per
+  // distinct display form in the dictionary build (plus the f2 query);
+  // same patterns, same semantics
+  private val CamelBreak1 = java.util.regex.Pattern.compile("([a-z0-9])([A-Z])")
+  private val CamelBreak2 = java.util.regex.Pattern.compile("([A-Z]+)([A-Z][a-z])")
+  private val WsRun = java.util.regex.Pattern.compile("\\s+")
+
   /** F2-analogue: split camelCase / snake_case identifiers into words. */
   def splitIdentifier(s: String): Array[String] = {
     if (s == null || s.isEmpty) return Array.empty
-    val withBreaks = s
-      .replaceAll("([a-z0-9])([A-Z])", "$1 $2")
-      .replaceAll("([A-Z]+)([A-Z][a-z])", "$1 $2")
+    val withBreaks = CamelBreak2.matcher(
+      CamelBreak1.matcher(s).replaceAll("$1 $2")).replaceAll("$1 $2")
       .replace('_', ' ')
-    withBreaks.split("\\s+").filter(_.nonEmpty)
+    WsRun.split(withBreaks, -1).filter(_.nonEmpty)
   }
 
   /** Lowercase word tokens (letters+digits runs). Used for cosine contexts. */

@@ -62,7 +62,12 @@ object Triples {
       .filter(col("t").isNotNull)
       .select(col("t.subj"), col("t.pred"), col("t.obj"))
 
-    val sameAs = alignments.select(col("entity_id")).distinct()
+    // one row per entity WITHOUT a distinct Exchange: `rank` is a
+    // row_number over the entity partition (Scorer.score), so rank = 1
+    // selects exactly one row per entity present in alignments — the same
+    // set a distinct over entity_id produced, as a map-side filter instead
+    // of a full shuffle of |entities|×topK ids
+    val sameAs = alignments.filter(col("rank") === 1).select(col("entity_id"))
       .join(reps, Seq("entity_id"), "left")
       .select(col("entity_id").as("subj"), lit("owl:sameAs").as("pred"),
         coalesce(col("rep"), col("entity_id")).as("obj"))

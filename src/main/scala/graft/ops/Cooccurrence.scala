@@ -73,14 +73,33 @@ object Cooccurrence {
     */
   def docIds(docs: DataFrame, dict: DataFrame): DataFrame = {
     val spark = docs.sparkSession
-    val idByToken = new java.util.HashMap[String, java.lang.Long]()
-    dict.select(col("token"), col("id").cast("long")).collect()
-      .foreach(r => idByToken.put(r.getString(0), r.getLong(1)))
-    val bc = spark.sparkContext.broadcast(idByToken)
-    val encode = udf { (toks: Seq[String]) =>
-      val m = bc.value
+    // compact two-array structure instead of a HashMap[String, boxed Long]:
+    // token-sorted String array + parallel primitive id array, probed by
+    // binary search. At the reference's V = 4M vocabulary
+    // (PopulateCooccurrenceMatrix.java:48) the HashMap's Entry + boxed-Long
+    // overhead is ~40 B/entry (~160 MB of driver heap on top of the
+    // strings); the arrays carry only the strings + one long each, and the
+    // broadcast ships the same. Exact string equality either way — encode
+    // output is identical.
+    val rows = dict.select(col("token"), col("id").cast("long")).collect()
+    val order = rows.indices.sortBy(rows(_).getString(0))
+    val toks = new Array[String](rows.length)
+    val ids = new Array[Long](rows.length)
+    var i = 0
+    while (i < order.length) {
+      toks(i) = rows(order(i)).getString(0)
+      ids(i) = rows(order(i)).getLong(1)
+      i += 1
+    }
+    val bc = spark.sparkContext.broadcast((toks, ids))
+    val encode = udf { (tokSeq: Seq[String]) =>
+      val (ts, is) = bc.value
       val out = scala.collection.mutable.ArrayBuffer.empty[Long]
-      toks.foreach { t => val id = m.get(t); if (id != null) out += id.longValue() }
+      tokSeq.foreach { t =>
+        val idx = java.util.Arrays.binarySearch(
+          ts.asInstanceOf[Array[AnyRef]], t)
+        if (idx >= 0) out += is(idx)
+      }
       out.toSeq
     }
     docs.select(col("doc_id"), encode(tokensCol(col("text"))).as("ids"))

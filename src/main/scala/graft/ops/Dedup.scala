@@ -171,6 +171,17 @@ object Dedup {
   /** (doc_a, doc_b) candidate pairs from shared band keys, with hot buckets
     * (> bucketCap rows) excluded from pair generation. `sigs` is
     * (doc_id, band_id, band_hash).
+    *
+    * The in-bucket pair generation stays a compiled SELF-JOIN — measured
+    * against both a collect_list + pair-UDF form (+77% on the embedding
+    * path: a near-cap 1024 bucket materializes ~cap²/2 tuples per row
+    * before explode) and a collect_list + typed-flatMap-iterator form
+    * (object-boundary serialization per generated pair; the join emits
+    * pairs entirely inside WholeStageCodegen). What the measured rewrite
+    * KEEPS is the eager localCheckpoint on the DISTINCT OUTPUT: every
+    * caller consumes the pair list 2-3× (size prune / candIds union /
+    * verify joins), and the join+distinct subtree previously re-executed
+    * per consumer.
     */
   def candidatePairs(sigs: DataFrame, bucketCap: Int): DataFrame = {
     val sized = sigs.withColumn("bucket_sz",
@@ -188,6 +199,7 @@ object Dedup {
           col("l.doc_id") < col("r.doc_id"))
       .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
       .distinct()
+      .localCheckpoint(true)
   }
 
   /** Lossless size-ratio prune for set-Jaccard candidate pairs:
@@ -513,6 +525,7 @@ object Dedup {
   }
 
   val simhashUdf = udf((tokens: Seq[String]) => simhashScalar(tokens))
+
 
   /** Near-dups by SimHash: band the 64 bits into 4×16-bit keys (any pair
     * within Hamming distance 3 shares ≥1 exact band), verify with
@@ -871,8 +884,12 @@ object Dedup {
       .select(col("doc_a").as("vec_a"), col("doc_b").as("vec_b"))
     val candIds = pairs.select(col("vec_a").as("vec_id"))
       .unionByName(pairs.select(col("vec_b").as("vec_id"))).distinct()
+    // localCheckpoint: the verify join consumes this on BOTH sides — the
+    // un-checkpointed form duplicated the candIds distinct + embeddings
+    // semi-join subtree per side (2 full evaluations, plan-visible)
     val vecs = embs.join(candIds, Seq("vec_id"), "left_semi")
       .select(col("vec_id"), col("embedding"))
+      .localCheckpoint(true)
     pairs
       .join(vecs.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a")), Seq("vec_a"))
       .join(vecs.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b")), Seq("vec_b"))

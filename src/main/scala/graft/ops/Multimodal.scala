@@ -55,14 +55,22 @@ object Multimodal {
   private def pixel(id: Long, x: Int, y: Int): Int =
     (mix(id * 1000003L + y.toLong * 131L + x) & 0xFFFFFF).toInt
 
-  /** Real PNG bytes of a deterministic w×h image. */
+  /** Real PNG bytes of a deterministic w×h image. The pixel array is
+    * written straight into the TYPE_INT_RGB raster's backing int[] —
+    * per-pixel setRGB goes through ColorModel.getDataElements + a
+    * per-call raster write and is ~10× slower for the same stored ints
+    * (INT_RGB data elements ARE the 0xRRGGBB values `pixel` produces, so
+    * the encoded PNG bytes are identical).
+    */
   def pngBytes(id: Long, w: Int, h: Int): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(w, h,
       java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val data = img.getRaster.getDataBuffer
+      .asInstanceOf[java.awt.image.DataBufferInt].getData
     var y = 0
     while (y < h) {
       var x = 0
-      while (x < w) { img.setRGB(x, y, pixel(id, x, y)); x += 1 }
+      while (x < w) { data(y * w + x) = pixel(id, x, y); x += 1 }
       y += 1
     }
     val baos = new ByteArrayOutputStream()
@@ -147,14 +155,19 @@ object Multimodal {
     val w = img.getWidth; val h = img.getHeight
     var r = 0L; var g = 0L; var b = 0L
     val quad = new Array[Long](4)
+    // one bulk getRGB: identical ints to the per-pixel calls (same
+    // ColorModel conversion), without a method call + bounds setup per
+    // pixel — the decode feature loop is the multimodal hot path
+    val px = img.getRGB(0, 0, w, h, null, 0, w)
     var y = 0
     while (y < h) {
+      val qRow = if (y * 2 >= h) 2 else 0
       var x = 0
       while (x < w) {
-        val p = img.getRGB(x, y)
+        val p = px(y * w + x)
         val pr = (p >> 16) & 0xFF; val pg = (p >> 8) & 0xFF; val pb = p & 0xFF
         r += pr; g += pg; b += pb
-        quad((if (y * 2 >= h) 2 else 0) + (if (x * 2 >= w) 1 else 0)) += (pr + pg + pb) / 3
+        quad(qRow + (if (x * 2 >= w) 1 else 0)) += (pr + pg + pb) / 3
         x += 1
       }
       y += 1

@@ -19,12 +19,19 @@ object TfIdf {
       .groupBy(col("doc_id"), col("token"))
       .agg((lit(1.0) + log(count(lit(1)).cast("double"))).as("tf"))
 
-  /** (token, df, idf): smooth idf = ln((N+1)/(df+1)) + 1. */
+  /** (token, df, idf): smooth idf = ln((N+1)/(df+1)) + 1. N is folded into
+    * the lazy plan (1-row aggregate broadcast-crossed, the `contingency`
+    * pattern) — the previous driver-side docs.count() was an extra job +
+    * full documents scan per query; the cast chain yields the identical
+    * double.
+    */
   def idf(docs: DataFrame): DataFrame = {
-    val n = docs.count()
+    val nDf = docs.agg(count(lit(1)).as("n_docs"))
     docs.select(col("doc_id"), explode(array_distinct(tokensCol(col("text")))).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("df"))
-      .withColumn("idf", log((lit(n.toDouble) + 1.0) / (col("df").cast("double") + 1.0)) + 1.0)
+      .crossJoin(broadcast(nDf))
+      .withColumn("idf", log((col("n_docs").cast("double") + 1.0) / (col("df").cast("double") + 1.0)) + 1.0)
+      .select(col("token"), col("df"), col("idf"))
   }
 
   /** (doc_id, token, tfidf). */
@@ -96,7 +103,10 @@ object TfIdf {
     * Standard 2×2 χ² with the observed/expected contingency counts.
     */
   def chiSquared(docs: DataFrame, minCount: Long = 5): DataFrame = {
-    val n = docs.count().toDouble
+    // N folded into the lazy plan (1-row aggregate broadcast-crossed) —
+    // no driver-side count() job; count→double cast yields the identical
+    // double the old lit(n) carried
+    val nDf = docs.agg(count(lit(1)).cast("double").as("n_docs"))
     val tokDocs = docs
       .select(col("doc_id"), col("category"),
         explode(array_distinct(tokensCol(col("text")))).as("token"))
@@ -105,15 +115,17 @@ object TfIdf {
       .filter(col("n11") >= minCount)
     val tokTotal = tokDocs.groupBy(col("token")).agg(count(lit(1)).as("n1x"))
     val catTotal = docs.groupBy(col("category")).agg(count(lit(1)).as("nx1"))
+    val n = col("n_docs")
     tokCat
       .join(broadcast(tokTotal), Seq("token"))
       .join(broadcast(catTotal), Seq("category"))
+      .crossJoin(broadcast(nDf))
       .withColumn("n10", col("n1x") - col("n11"))
       .withColumn("n01", col("nx1") - col("n11"))
-      .withColumn("n00", lit(n) - col("n1x") - col("n01"))
+      .withColumn("n00", n - col("n1x") - col("n01"))
       .withColumn("chi2", round(
-        lit(n) * pow(col("n11") * col("n00") - col("n10") * col("n01"), 2) /
-          (col("n1x") * (lit(n) - col("n1x")) * col("nx1") * (lit(n) - col("nx1"))), 4))
+        n * pow(col("n11") * col("n00") - col("n10") * col("n01"), 2) /
+          (col("n1x") * (n - col("n1x")) * col("nx1") * (n - col("nx1"))), 4))
       .select(col("token"), col("category"), col("n11"), col("chi2"))
   }
 }

@@ -39,4 +39,15 @@ class FunctionsSpec extends AnyFunSuite with SparkTestBase {
     val r = df.select(JaroWinkler.jaroWinkler(col("a"), col("b"))).collect()
     assert(r(0).isNullAt(0))
   }
+
+  test("F19 vector concat: built-in concat appends feature arrays in order") {
+    // SURVEY §2 F19 (LSAVectorProvider.java:54-77 analogue: the LSA vector
+    // concatenated with extra feature dims) — the one §2 row that had
+    // neither a query nor a spec
+    import spark.implicits._
+    val df = Seq((Seq(1.0, 2.0), Seq(3.0, 4.5))).toDF("a", "b")
+    val got = df.select(concat(col("a"), col("b")).as("v"))
+      .collect()(0).getSeq[Double](0)
+    assert(got == Seq(1.0, 2.0, 3.0, 4.5))
+  }
 }

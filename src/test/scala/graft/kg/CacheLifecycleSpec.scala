@@ -55,4 +55,25 @@ class CacheLifecycleSpec extends AnyFunSuite with SparkTestBase {
     kept.foreach(graft.KgQueries.evict)
     assert(graft.KgQueries.memoSessionCount == 0)
   }
+
+  test("scan scratch cleanup registers ONE listener per context, not one per run") {
+    // round-5 verdict finding: Scan.materialize leaked one SparkListener
+    // per pipeline run; now a single shared listener drains a pending-path
+    // set. N runs in one session must register at most one new listener
+    // (zero if an earlier spec already ran a pipeline on this context).
+    val before = Scan.drainListenersRegistered.get()
+    val pendingBefore = Scan.pendingScratchCount(spark.sparkContext)
+    (1 to 3).foreach { _ =>
+      val r = Pipeline.computeForScale(spark, CorpusGen.Tiny)
+      r.triples.count()
+      r.unpersist() // also retires the run's scratch path from the set
+    }
+    val after = Scan.drainListenersRegistered.get()
+    assert(after - before <= 1,
+      s"cleanup listeners grew with runs: +${after - before} across 3 runs")
+    // eager dropScratch retired THIS test's paths (other specs' un-released
+    // runs legitimately stay pending until the shutdown drain)
+    assert(Scan.pendingScratchCount(spark.sparkContext) == pendingBefore,
+      "unpersist() did not retire this test's scratch paths")
+  }
 }
