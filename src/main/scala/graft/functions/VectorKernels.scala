@@ -104,6 +104,31 @@ object VectorKernels {
     java.lang.Double.valueOf(dot / (math.sqrt(na) * math.sqrt(nb)))
   }
 
+  /** √(Σ wᵢ²) over a (h, w) entry array in ascending index order —
+    * the L2 norm Features.vectorize previously folded with the
+    * interpreted `sqrt(aggregate(tw, 0.0, acc + w*w))` (ArrayAggregate is
+    * CodegenFallback: a lambda frame + boxed accumulator per element, once
+    * per ACCOUNT and per ENTITY row — dim-table work that grows with the
+    * corpus). Same ascending fold, same final sqrt → IEEE-identical.
+    */
+  def entryNorm(tw: ArrayData): Double = {
+    val n = tw.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val w = tw.getStruct(i, 2).getDouble(1)
+      s += w * w
+      i += 1
+    }
+    math.sqrt(s)
+  }
+
+  /** Column API: L2 norm of a (h, w) entry array (null array → null, like
+    * the aggregate formulation).
+    */
+  def entryNormCol(tw: Column): Column =
+    GraftBridge.column(EntryNormExpr(GraftBridge.expression(tw)))
+
   private val Kernel = "graft.functions.VectorKernels$.MODULE$"
 
   /** Column API: TF-IDF cosine of two (h, w) entry arrays with norms;
@@ -204,6 +229,36 @@ case class NameSimExpr(names: Expression, cand: Expression) extends Expression {
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): Expression =
     copy(names = newChildren(0), cand = newChildren(1))
+}
+
+/** entry_norm(tw): double, null iff the array is null. */
+case class EntryNormExpr(tw: Expression) extends Expression {
+
+  override def children: Seq[Expression] = Seq(tw)
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = tw.nullable
+  override def prettyName: String = "entry_norm"
+
+  override def eval(input: InternalRow): Any = {
+    val v = tw.eval(input)
+    if (v == null) null
+    else VectorKernels.entryNorm(v.asInstanceOf[ArrayData])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = tw.genCode(ctx)
+    ev.copy(code = code"""
+      ${c.code}
+      boolean ${ev.isNull} = ${c.isNull};
+      double ${ev.value} = 0.0;
+      if (!${ev.isNull}) {
+        ${ev.value} = graft.functions.VectorKernels$$.MODULE$$.entryNorm(${c.value});
+      }""")
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(tw = newChildren(0))
 }
 
 /** cosine(a, b) over array<double|float>: nullable (null input or length

@@ -53,8 +53,12 @@ object Features {
       .agg(sort_array(collect_list(struct(col("h"), col("w")))).as("tw"))
       .select(col(key),
         col("tw").as("tvec"),
-        sqrt(aggregate(col("tw"), lit(0.0),
-          (acc, s) => acc + s.getField("w") * s.getField("w"))).as("tnorm"))
+        // codegen entry-norm kernel — the previous
+        // sqrt(aggregate(tw, 0, acc + w*w)) fold is interpreted
+        // (ArrayAggregate is CodegenFallback) and runs once per
+        // account/entity row; same ascending fold + sqrt, IEEE-identical
+        // (VectorKernelsSpec pins it)
+        graft.functions.VectorKernels.entryNormCol(col("tw")).as("tnorm"))
 
   /** (accountVectors(account_id, tvec, tnorm),
     *  entityVectors(entity_id, tvec, tnorm)).

@@ -247,17 +247,48 @@ object Scan {
 
   val productsUdf = udf(productsOf _)
 
+  /** One scan-output row — the typed shape behind [[products]]; field
+    * names/types match the previous UDF formulation exactly (tuple Seqs
+    * encode as array<struct<_1,...>>, the layout every consumer selects).
+    */
+  final case class ScanRow(repo: String, path: String, commit: String,
+      content_sha: String,
+      anns: Seq[(String, String, String)],
+      authors: Seq[String], mens: Seq[String],
+      tok: Seq[(Long, Long)])
+
   /** (repo, path, commit, content_sha, anns, authors, mens, tok) — one row
     * per file, content dropped. The sha2 invariant is computed here, at the
-    * only place content is ever visible (input_hint contract).
+    * only place content is ever visible (input_hint contract):
+    * DigestUtils.sha256Hex is the exact call Spark's `sha2(col, 256)`
+    * expression makes on the UTF-8 bytes, so the column is bit-identical
+    * to the previous `withSha` formulation (the DuckDB kg_corpus replay
+    * recomputes it cross-engine).
+    *
+    * Typed mapPartitions instead of a ScalaUDF: the UDF path converted the
+    * nested Products result through reflection-based
+    * CatalystTypeConverters per row (~55 nested values each) and then
+    * re-projected the struct; the Dataset encoder serializes the same
+    * values with generated code, and chained object operators let the
+    * optimizer eliminate the row round-trip against the typed synthesis
+    * source (EliminateSerialization). Measured on the scan-stage job at
+    * 300k files/local[32]: see OPTIMIZATION_r06.md.
     */
-  def products(repos: DataFrame): DataFrame =
-    Mentions.withSha(repos)
-      .select(col("repo"), col("path"), col("commit"), col("content_sha"),
-        productsUdf(col("content")).as("s"))
-      .select(col("repo"), col("path"), col("commit"), col("content_sha"),
-        col("s.anns").as("anns"), col("s.authors").as("authors"),
-        col("s.mens").as("mens"), col("s.tok").as("tok"))
+  def products(repos: DataFrame): DataFrame = {
+    val spark = repos.sparkSession
+    import spark.implicits._
+    repos.select(col("repo"), col("path"), col("commit"), col("content"))
+      .as[(String, String, String, String)]
+      .mapPartitions { it =>
+        it.map { case (repo, path, commit, content) =>
+          val sha = org.apache.commons.codec.digest.DigestUtils.sha256Hex(
+            content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          val p = productsOf(content)
+          ScanRow(repo, path, commit, sha, p.anns, p.authors, p.mens, p.tok)
+        }
+      }
+      .toDF()
+  }
 
   /** Materialize a products frame as scratch PARQUET and return the
     * read-back frame (plus the path, for cleanup).

@@ -467,28 +467,49 @@ object Dedup {
     * the cross product exists only inside the compiled loop, never as
     * joined rows carrying both arrays.
     */
+  /** Index of `id` in an id-sorted broadcast array, or -1. */
+  private def idIndex(all: Array[(Long, Array[Long])], id: Long): Int = {
+    var lo = 0
+    var hi = all.length - 1
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      val v = all(mid)._1
+      if (v == id) return mid
+      else if (v < id) lo = mid + 1
+      else hi = mid - 1
+    }
+    -1
+  }
+
   private def bruteMatches(sets: DataFrame, threshold: Double,
       outA: String, outB: String, simName: String): DataFrame = {
     val spark = sets.sparkSession
     val gathered = sets.collect().map(r =>
       (r.getLong(0), longArr(r.getSeq[Long](1)))).sortBy(_._1)
     val bc = spark.sparkContext.broadcast(gathered)
-    val matchUdf = udf((id: Long, g: Seq[Long]) => {
-      val ga = longArr(g)
+    // the probe takes ONLY the id and finds the row's own set in the
+    // sorted broadcast — passing the set as a column forced the set-UDF
+    // to evaluate a SECOND time in the distributed plan (once for the
+    // driver collect above, once per probe row); id-only lets Catalyst
+    // prune the set column from the probe side entirely. ids are sorted
+    // and distinct, so "all(i)._1 > id" ≡ the suffix after the own index.
+    val matchUdf = udf((id: Long) => {
       val all = bc.value
       val out = Seq.newBuilder[(Long, Double)]
-      var i = 0
-      while (i < all.length) {
-        if (all(i)._1 > id) {
+      val idx = idIndex(all, id)
+      if (idx >= 0) {
+        val ga = all(idx)._2
+        var i = idx + 1
+        while (i < all.length) {
           val j = sortedJaccard(ga, all(i)._2)
           if (j >= threshold) out += ((all(i)._1, j))
+          i += 1
         }
-        i += 1
       }
       out.result()
     })
     sets.select(col("doc_id").as(outA),
-        explode(matchUdf(col("doc_id"), col("sset"))).as("m"))
+        explode(matchUdf(col("doc_id"))).as("m"))
       .select(col(outA), col("m._1").as(outB), round(col("m._2"), 4).as(simName))
   }
 
@@ -919,22 +940,35 @@ object Dedup {
     val gathered = embs.select(col("vec_id"), col("embedding")).collect()
       .map(r => (r.getLong(0), floatArr(r.getSeq[Float](1)))).sortBy(_._1)
     val bc = spark.sparkContext.broadcast(gathered)
-    val matchUdf = udf((id: Long, v: Seq[Float]) => {
-      val va = floatArr(v)
+    // id-only probe against the sorted broadcast (see bruteMatches): the
+    // embedding column stays prunable on the probe side; sorted distinct
+    // ids make "all(i)._1 > id" ≡ the suffix after the own index
+    val matchUdf = udf((id: Long) => {
       val all = bc.value
       val out = Seq.newBuilder[(Long, Double)]
-      var i = 0
-      while (i < all.length) {
-        if (all(i)._1 > id) {
+      var lo = 0
+      var hi = all.length - 1
+      var idx = -1
+      while (lo <= hi) {
+        val mid = (lo + hi) >>> 1
+        val v = all(mid)._1
+        if (v == id) { idx = mid; lo = hi + 1 }
+        else if (v < id) lo = mid + 1
+        else hi = mid - 1
+      }
+      if (idx >= 0) {
+        val va = all(idx)._2
+        var i = idx + 1
+        while (i < all.length) {
           val c = cosineArr(va, all(i)._2)
           if (c >= threshold) out += ((all(i)._1, c))
+          i += 1
         }
-        i += 1
       }
       out.result()
     })
     embs.select(col("vec_id").as("vec_a"),
-        explode(matchUdf(col("vec_id"), col("embedding"))).as("m"))
+        explode(matchUdf(col("vec_id"))).as("m"))
       .select(col("vec_a"), col("m._1").as("vec_b"), round(col("m._2"), 4).as("cos"))
   }
 }

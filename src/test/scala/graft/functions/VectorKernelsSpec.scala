@@ -184,6 +184,31 @@ class VectorKernelsSpec extends AnyFunSuite with SparkTestBase {
       }
   }
 
+  test("EntryNormExpr ≡ sqrt(aggregate(tw, 0, acc + w·w)) bit-exactly") {
+    val rowsets: Seq[Seq[Row]] = Seq(
+      entries(7, 0)._1, entries(8, 1)._1, entries(9, 5)._1,
+      entries(10, 37)._1,
+      // adversarial magnitudes: subnormal-ish and large weights
+      Seq(Row(1L, 1e-160), Row(2L, -1e-160), Row(3L, 4.0)),
+      Seq(Row(5L, 1e150), Row(6L, -2.5e149)))
+    val schema = StructType(Seq(StructField("tw", entrySchema)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rowsets.map(Row(_)), 2), schema)
+    val got = df.select(
+      sqrt(aggregate(col("tw"), lit(0.0),
+        (acc, s) => acc + s.getField("w") * s.getField("w"))).as("old"),
+      VectorKernels.entryNormCol(col("tw")).as("nw")).collect()
+    got.foreach { r =>
+      assert(java.lang.Double.doubleToRawLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToRawLongBits(r.getDouble(1)))
+    }
+    // null array → null, like the aggregate formulation
+    val nullDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(null)), 1), schema)
+    assert(nullDf.select(VectorKernels.entryNormCol(col("tw")))
+      .collect()(0).isNullAt(0))
+  }
+
   test("kernels run inside WholeStageCodegen (no BatchEvalPython/ScalaUDF, no CodegenFallback wrappers)") {
     val (e, en) = entries(1, 6)
     val schema = StructType(Seq(
