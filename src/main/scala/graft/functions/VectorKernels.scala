@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -123,11 +123,86 @@ object VectorKernels {
     math.sqrt(s)
   }
 
+  /** Weighted mean of neighbour embedding vectors over a SORTED
+    * (dst, w, vec) struct array — the Features.sgVectors fold
+    * (SocialGraphEmbeddings.java:38-44 semantics). Mirrors the retired
+    *   transform(aggregate(nb, array_repeat(0.0, dim),
+    *       (acc, x) => zip_with(acc, x.vec, (a, v) => a + x.w * v)),
+    *     v => v / aggregate(nb, 0.0, (acc, x) => acc + x.w))
+    * formulation bit-for-bit: per element j the adds run in neighbour
+    * (array) order, the weight sum folds in the same order, and the
+    * division happens once at the end — each of the three interpreted
+    * higher-order folds (ArrayAggregate/ZipWith/ArrayTransform are
+    * CodegenFallback: a lambda frame + boxed accumulator per element per
+    * neighbour, once per ACCOUNT row) becomes one compiled loop.
+    *
+    * Null semantics of the zip chain, mirrored exactly:
+    *   - a null struct entry or null vec poisons the whole array → null
+    *     (zip_with over a null array yields null, which then propagates);
+    *   - a null weight poisons every element AND the weight sum → an array
+    *     of all-null elements (length = the zip-extended length);
+    *   - per element: zip_with pads the shorter side with null, and
+    *     null + x = null is sticky, so element j is null iff j ≥ dim, or
+    *     some neighbour's vec is shorter than j+1 or null at j;
+    *   - empty nb → the dim zeros divided by a 0.0 weight sum → NaNs.
+    */
+  def weightedAvg(nb: ArrayData, dim: Int): ArrayData = {
+    val n = nb.numElements()
+    var L = dim
+    var anyWNull = false
+    var k = 0
+    while (k < n) {
+      if (nb.isNullAt(k)) return null
+      val st = nb.getStruct(k, 3)
+      if (st.isNullAt(2)) return null
+      val len = st.getArray(2).numElements()
+      if (len > L) L = len
+      if (st.isNullAt(1)) anyWNull = true
+      k += 1
+    }
+    val out = new Array[Any](L)
+    if (anyWNull) return new GenericArrayData(out) // all-null elements
+    val acc = new Array[Double](L)
+    val nul = new Array[Boolean](L)
+    var j = dim
+    while (j < L) { nul(j) = true; j += 1 }
+    var wsum = 0.0
+    k = 0
+    while (k < n) {
+      val st = nb.getStruct(k, 3)
+      val w = st.getDouble(1)
+      wsum += w
+      val vec = st.getArray(2)
+      val len = vec.numElements()
+      j = 0
+      while (j < L) {
+        if (!nul(j)) {
+          if (j >= len || vec.isNullAt(j)) nul(j) = true
+          else acc(j) += w * vec.getDouble(j)
+        }
+        j += 1
+      }
+      k += 1
+    }
+    j = 0
+    while (j < L) {
+      if (!nul(j)) out(j) = java.lang.Double.valueOf(acc(j) / wsum)
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Column API: L2 norm of a (h, w) entry array (null array → null, like
     * the aggregate formulation).
     */
   def entryNormCol(tw: Column): Column =
     GraftBridge.column(EntryNormExpr(GraftBridge.expression(tw)))
+
+  /** Column API: weighted neighbour-average vector over a (dst, w, vec)
+    * struct array (null input → null, element nulls per the zip semantics).
+    */
+  def weightedVecAvg(nb: Column, dim: Int): Column =
+    GraftBridge.column(WeightedAvgExpr(GraftBridge.expression(nb), dim))
 
   private val Kernel = "graft.functions.VectorKernels$.MODULE$"
 
@@ -259,6 +334,40 @@ case class EntryNormExpr(tw: Expression) extends Expression {
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): Expression =
     copy(tw = newChildren(0))
+}
+
+/** weighted_vec_avg(nb, dim): array<double> (see VectorKernels.weightedAvg
+  * for the mirrored zip-chain null semantics).
+  */
+case class WeightedAvgExpr(nb: Expression, dim: Int) extends Expression {
+
+  override def children: Seq[Expression] = Seq(nb)
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = true)
+  override def nullable: Boolean = true
+  override def prettyName: String = "weighted_vec_avg"
+
+  override def eval(input: InternalRow): Any = {
+    val v = nb.eval(input)
+    if (v == null) null
+    else VectorKernels.weightedAvg(v.asInstanceOf[ArrayData], dim)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = nb.genCode(ctx)
+    ev.copy(code = code"""
+      ${c.code}
+      boolean ${ev.isNull} = true;
+      org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = null;
+      if (!${c.isNull}) {
+        ${ev.value} = graft.functions.VectorKernels$$.MODULE$$.weightedAvg(
+          ${c.value}, $dim);
+        ${ev.isNull} = ${ev.value} == null;
+      }""")
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(nb = newChildren(0))
 }
 
 /** cosine(a, b) over array<double|float>: nullable (null input or length

@@ -205,7 +205,12 @@ object Features {
   /** (account_id, sgvec): weighted mean of neighbour embeddings,
     * Σ wᵢ·vecᵢ / Σ wᵢ folded in dst order (SocialGraphEmbeddings.java:38-44
     * semantics — a user's graph embedding is the weighted average of its
-    * followees' vectors).
+    * followees' vectors). The fold is the compiled weightedVecAvg kernel
+    * (functions/VectorKernels.scala) — the previous
+    * aggregate/zip_with/transform chain was interpreted (CodegenFallback)
+    * per ACCOUNT row: a lambda frame + boxed double per element per
+    * neighbour; the kernel keeps the identical neighbour-order IEEE folds
+    * (VectorKernelsSpec pins bit-equality against the old formulation).
     */
   def sgVectors(edges: DataFrame, accountEmbeddings: DataFrame,
       dim: Int = CorpusGen.EmbDim): DataFrame = {
@@ -214,11 +219,6 @@ object Features {
       .groupBy(col("src"))
       .agg(sort_array(collect_list(struct(col("dst"), col("w"), col("vec")))).as("nb"))
       .select(col("src").as("account_id"),
-        transform(
-          aggregate(col("nb"), array_repeat(lit(0.0), dim),
-            (acc, x) => zip_with(acc, x.getField("vec"),
-              (a, v) => a + x.getField("w") * v)),
-          v => v / aggregate(col("nb"), lit(0.0),
-            (acc, x) => acc + x.getField("w"))).as("sgvec"))
+        graft.functions.VectorKernels.weightedVecAvg(col("nb"), dim).as("sgvec"))
   }
 }

@@ -405,16 +405,16 @@ object Scan {
         col("m._3").as("display_name"))
 
   /** (src_screen, dst_screen) author×mention pairs — the social-graph raw
-    * rows, derived in Catalyst (no content, no UDF): one array expression
-    * per file, exploded. Order matches Features.coMentionPairsUdf (authors
-    * outer, mentions inner); consumers aggregate, so order is cosmetic.
+    * rows, derived in Catalyst (no content, no UDF): two chained explodes
+    * (authors outer, mentions inner — the exact row multiset and order of
+    * Features.coMentionPairsUdf and of the previous nested-transform +
+    * flatten form, which was INTERPRETED per file: ArrayTransform is
+    * CodegenFallback; Generate/explode stays inside WholeStageCodegen).
+    * Consumers aggregate, so order is cosmetic.
     */
   def coMentionPairs(scan: DataFrame): DataFrame =
-    scan.select(explode(flatten(transform(col("authors"),
-        a => transform(col("mens"),
-          m => struct(a.as("src_screen"), m.as("dst_screen")))))).as("p"))
-      .select(col("p.src_screen").as("src_screen"),
-        col("p.dst_screen").as("dst_screen"))
+    scan.select(explode(col("authors")).as("src_screen"), col("mens"))
+      .select(col("src_screen"), explode(col("mens")).as("dst_screen"))
 
   /** (screen_name, tok) rows for authored files — the per-account text
     * model's input, derived from the scan (was authoredContent's second

@@ -501,8 +501,18 @@ object Dedup {
         val ga = all(idx)._2
         var i = idx + 1
         while (i < all.length) {
-          val j = sortedJaccard(ga, all(i)._2)
-          if (j >= threshold) out += ((all(i)._1, j))
+          val gb = all(i)._2
+          // lossless size-ratio prune (the sizePrunedPairs invariant):
+          // J ≤ min(|A|,|B|)/max(|A|,|B|), so a pair below threshold−1e-9
+          // on the ratio can never verify — skip the O(|A|+|B|) merge.
+          // Zero-size sets score J = 0 either way (threshold > 0 always
+          // here); the 1e-9 slack mirrors sizePrunedPairs' rounding guard.
+          val mn = math.min(ga.length, gb.length).toDouble
+          val mx = math.max(ga.length, gb.length).toDouble
+          if (threshold <= 0 || (mx > 0 && mn / mx >= threshold - 1e-9)) {
+            val j = sortedJaccard(ga, gb)
+            if (j >= threshold) out += ((all(i)._1, j))
+          }
           i += 1
         }
       }

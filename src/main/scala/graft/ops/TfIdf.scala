@@ -54,10 +54,20 @@ object TfIdf {
     val tokDocs = docs
       .select(col("doc_id"), col("category"),
         explode(array_distinct(tokensCol(col("text")))).as("token"))
-    val tokCat = tokDocs.groupBy(col("token"), col("category"))
+    // ONE tokenize+explode pass: n1x (docs containing the token) is the
+    // category-sum of the (token, category) counts — each doc has exactly
+    // one category, so sum(a) ≡ the old count over tokDocs (the old
+    // groupBy(token) branch re-ran the whole tokenize+explode with its own
+    // Exchange). The aggregate is localCheckpoint'd (eager, per-invocation
+    // — fresh blocks every call, released by the ContextCleaner on GC)
+    // because the two consumers' pushed-down join filters otherwise break
+    // the subtree's canonical equality and exchange reuse does NOT fire;
+    // the frame is small (≤ |vocab| × |categories| rows).
+    val tokCatAll = tokDocs.groupBy(col("token"), col("category"))
       .agg(count(lit(1)).as("a"))
-      .filter(col("a") >= minCount)
-    val tokTotal = tokDocs.groupBy(col("token")).agg(count(lit(1)).as("n1x"))
+      .localCheckpoint(true)
+    val tokCat = tokCatAll.filter(col("a") >= minCount)
+    val tokTotal = tokCatAll.groupBy(col("token")).agg(sum(col("a")).as("n1x"))
     val catTotal = docs.groupBy(col("category")).agg(count(lit(1)).as("nx1"))
     tokCat
       .join(broadcast(tokTotal), Seq("token"))
@@ -110,10 +120,14 @@ object TfIdf {
     val tokDocs = docs
       .select(col("doc_id"), col("category"),
         explode(array_distinct(tokensCol(col("text")))).as("token"))
-    val tokCat = tokDocs.groupBy(col("token"), col("category"))
+    // same single-pass shape as contingency: n1x = category-sum of n11
+    // (one category per doc); eager localCheckpoint for the same
+    // pushed-filter-breaks-reuse reason
+    val tokCatAll = tokDocs.groupBy(col("token"), col("category"))
       .agg(count(lit(1)).as("n11"))
-      .filter(col("n11") >= minCount)
-    val tokTotal = tokDocs.groupBy(col("token")).agg(count(lit(1)).as("n1x"))
+      .localCheckpoint(true)
+    val tokCat = tokCatAll.filter(col("n11") >= minCount)
+    val tokTotal = tokCatAll.groupBy(col("token")).agg(sum(col("n11")).as("n1x"))
     val catTotal = docs.groupBy(col("category")).agg(count(lit(1)).as("nx1"))
     val n = col("n_docs")
     tokCat

@@ -71,9 +71,20 @@ object EventStream {
   def runFileStream(spark: SparkSession, dir: String,
       transform: DataFrame => DataFrame, mode: OutputMode,
       name: String): DataFrame = {
+    // stage + checkpoint under spark.local.dir (tmpfs in the bench
+    // sessions) instead of java.io.tmpdir: the default temp checkpoint
+    // lands on /tmp, which is DISK-backed here, and every state-store
+    // instance (one per shuffle partition) commits delta files + CRCs
+    // there per micro-batch — pure fixed I/O the result never sees. The
+    // checkpoint location does not affect the query's output.
+    val scratchRoot = java.nio.file.Paths.get(spark.sparkContext.getConf
+      .get("spark.local.dir", System.getProperty("java.io.tmpdir"))
+      .split(",").head)
+    java.nio.file.Files.createDirectories(scratchRoot)
     // FileStreamSource wants a DIRECTORY; the testdata table is one parquet
     // file — stage it into a temp dir
-    val staged = java.nio.file.Files.createTempDirectory(s"stream_$name")
+    val staged = java.nio.file.Files.createTempDirectory(scratchRoot, s"stream_$name")
+    val ckpt = java.nio.file.Files.createTempDirectory(scratchRoot, s"ckpt_$name")
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$dir/events.parquet"),
       staged.resolve("part-0.parquet"))
@@ -84,9 +95,20 @@ object EventStream {
       .outputMode(mode)
       .format("memory")
       .queryName(name)
+      .option("checkpointLocation", ckpt.toString)
       .start()
     try q.processAllAvailable()
-    finally q.stop()
+    finally {
+      q.stop()
+      // the memory sink holds the rows; the staged input and checkpoint
+      // are scratch (an explicit checkpointLocation is never auto-deleted)
+      def rm(p: java.nio.file.Path): Unit = try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+      } catch { case _: Exception => () }
+      rm(ckpt); rm(staged)
+    }
     spark.table(name)
   }
 }

@@ -209,6 +209,63 @@ class VectorKernelsSpec extends AnyFunSuite with SparkTestBase {
       .collect()(0).isNullAt(0))
   }
 
+  test("WeightedAvgExpr ≡ legacy transform/aggregate/zip_with chain bit-exactly") {
+    val dim = 8
+    def legacy(nb: org.apache.spark.sql.Column) =
+      transform(
+        aggregate(nb, array_repeat(lit(0.0), dim),
+          (acc, x) => zip_with(acc, x.getField("vec"),
+            (a, v) => a + x.getField("w") * v)),
+        v => v / aggregate(nb, lit(0.0), (acc, x) => acc + x.getField("w")))
+
+    val nbSchema = ArrayType(StructType(Seq(
+      StructField("dst", LongType, nullable = false),
+      StructField("w", DoubleType, nullable = true),
+      StructField("vec", ArrayType(DoubleType, containsNull = true), nullable = true))))
+    def vec(seed: Long, n: Int): Seq[Double] =
+      Seq.tabulate(n)(i => rnd01(seed * 131 + i) * 2.0 - 1.0)
+    def nb(seed: Long, n: Int, vlen: Int): Seq[Row] =
+      Seq.tabulate(n)(k => Row(seed * 100 + k, rnd01(seed + k) * 3.0, vec(seed + k, vlen)))
+    val cases: Seq[Seq[Row]] = Seq.tabulate(20)(k => nb(k, 1 + k % 6, dim)) ++ Seq(
+      nb(50, 3, dim - 3),                      // short vecs → null tail elements
+      nb(60, 2, dim + 4),                      // long vecs → zip-extended nulls
+      nb(70, 2, dim) :+ Row(999L, 1.5, vec(71, dim - 2)), // mixed lengths
+      Seq(Row(1L, 2.0, null)),                 // null vec → whole array null
+      Seq(Row(2L, null, vec(5, dim))))         // null w → all-null elements
+    val schema = StructType(Seq(StructField("nb", nbSchema)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(cases.map(Row(_)), 2), schema)
+    val out = df.select(legacy(col("nb")).as("old"),
+      VectorKernels.weightedVecAvg(col("nb"), dim).as("nw")).collect()
+    out.foreach { r =>
+      assert(r.isNullAt(0) == r.isNullAt(1), s"array-null mismatch: $r")
+      if (!r.isNullAt(0)) {
+        val o = r.getSeq[Any](0); val n = r.getSeq[Any](1)
+        assert(o.length == n.length, s"length mismatch: $o vs $n")
+        o.zip(n).foreach {
+          case (null, null) => ()
+          case (a: Double, b: Double) =>
+            assert(java.lang.Double.doubleToRawLongBits(a) ==
+              java.lang.Double.doubleToRawLongBits(b), s"old=$a new=$b")
+          case (a, b) => fail(s"element null mismatch: $a vs $b")
+        }
+      }
+    }
+    // null nb column → null, like the lazy-eval chain
+    val nullDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(null)), 1), schema)
+    assert(nullDf.select(VectorKernels.weightedVecAvg(col("nb"), dim))
+      .collect()(0).isNullAt(0))
+    // empty nb: the legacy chain THROWS under ANSI (double 0/0 divide);
+    // sgVectors can never produce it (groupBy output has ≥1 row, weights
+    // are > 0), and the kernel keeps IEEE semantics: dim NaN elements
+    val emptyDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(Seq.empty[Row])), 1), schema)
+    val got = emptyDf.select(VectorKernels.weightedVecAvg(col("nb"), dim))
+      .collect()(0).getSeq[Double](0)
+    assert(got.length == dim && got.forall(_.isNaN))
+  }
+
   test("kernels run inside WholeStageCodegen (no BatchEvalPython/ScalaUDF, no CodegenFallback wrappers)") {
     val (e, en) = entries(1, 6)
     val schema = StructType(Seq(
