@@ -202,6 +202,42 @@ object Dedup {
       .localCheckpoint(true)
   }
 
+  /** candidatePairs for LOW-cardinality band domains (the embedding LSH:
+    * 2^planes buckets per table — a few hundred distinct (band_id,
+    * band_hash) keys total, most ABOVE the cap at bench scale). The
+    * generic path's window count Exchanges AND SORTS every signature row
+    * by bucket key just to count buckets; here the bucket sizes come from
+    * a partial-aggregated groupBy (the shuffle carries ~one row per
+    * bucket per input partition, not one per signature), and the hot-
+    * bucket list prunes the signatures with a map-side anti join (AQE
+    * broadcasts the tiny hot frame; no hint, so a pathological hot list
+    * degrades to a shuffle join instead of a driver OOM). The self-join
+    * then sorts only the SURVIVING rows. Filter semantics are identical
+    * to the window form (same per-bucket counts, same > cap drop), so the
+    * pair set is unchanged — the DuckDB replay recomputes the caps
+    * independently and gates it.
+    */
+  private[graft] def candidatePairsAgg(sigs: DataFrame, bucketCap: Int): DataFrame = {
+    // checkpoint: the signature kernel feeds the bucket-size aggregate AND
+    // the anti-join probe side — without it the banding UDF runs twice
+    val sigsC = sigs.localCheckpoint(true)
+    val hot = sigsC.groupBy(col("band_id"), col("band_hash"))
+      .agg(count(lit(1)).as("bucket_sz"))
+      .filter(col("bucket_sz") > bucketCap)
+      .select(col("band_id"), col("band_hash"))
+    val ok = sigsC.join(hot, Seq("band_id", "band_hash"), "left_anti")
+      .select(col("doc_id"), col("band_id"), col("band_hash"))
+      .localCheckpoint(true)
+    ok.alias("l")
+      .join(ok.alias("r"),
+        col("l.band_id") === col("r.band_id") &&
+          col("l.band_hash") === col("r.band_hash") &&
+          col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+      .distinct()
+      .localCheckpoint(true)
+  }
+
   /** Lossless size-ratio prune for set-Jaccard candidate pairs:
     * J(A,B) = |A∩B| / |A∪B| ≤ min(|A|,|B|) / max(|A|,|B|), so a pair whose
     * set-size ratio is below the threshold can NEVER verify — drop it
@@ -911,7 +947,9 @@ object Dedup {
       .withColumnRenamed("table_id", "band_id")
       .withColumnRenamed("bits", "band_hash")
       .withColumnRenamed("vec_id", "doc_id")
-    val pairs = candidatePairs(keyed, bucketCap)
+    // agg-pruned variant: the band domain is tables × 2^planes buckets —
+    // tiny — so bucket sizing must not sort the full signature table
+    val pairs = candidatePairsAgg(keyed, bucketCap)
       .select(col("doc_a").as("vec_a"), col("doc_b").as("vec_b"))
     val candIds = pairs.select(col("vec_a").as("vec_id"))
       .unionByName(pairs.select(col("vec_b").as("vec_id"))).distinct()

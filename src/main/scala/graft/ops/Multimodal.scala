@@ -49,6 +49,23 @@ object Multimodal {
 
   private def mix(x: Long): Long = graft.kg.CorpusGen.mix(x)
 
+  // Per-thread PNG codec instances over MEMORY-cache streams. The
+  // ImageIO.read/write conveniences (a) look the codec up in the service
+  // registry per call and (b) wrap the stream in a FILE-cache
+  // ImageInputStream/OutputStream (ImageIO.getUseCache defaults true) —
+  // one temp FILE on java.io.tmpdir per encode/decode, which is
+  // DISK-backed in this sandbox: the multimodal query paid ~13k temp-file
+  // create/write/delete cycles per run. Same codec classes, same default
+  // write params (writer.write(img) ≡ ImageIO.write's doWrite with a null
+  // param), so encoded bytes and decoded pixels are bit-identical — the
+  // planted-image specs and the scalar-oracle hash compare gate this.
+  private val pngReader =
+    ThreadLocal.withInitial[javax.imageio.ImageReader](() =>
+      javax.imageio.ImageIO.getImageReadersByFormatName("png").next())
+  private val pngWriter =
+    ThreadLocal.withInitial[javax.imageio.ImageWriter](() =>
+      javax.imageio.ImageIO.getImageWritersByFormatName("png").next())
+
   // ------------------------------------------------------------- synthesis
 
   /** Deterministic opaque RGB pixel of (media_id, x, y). */
@@ -74,7 +91,11 @@ object Multimodal {
       y += 1
     }
     val baos = new ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", baos)
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(baos)
+    val wr = pngWriter.get()
+    wr.setOutput(ios)
+    wr.write(img)
+    ios.close() // flushes the memory cache into baos
     baos.toByteArray
   }
 
@@ -187,8 +208,15 @@ object Multimodal {
       w.toFloat / h.toFloat)
   }
 
-  def decodeImage(payload: Array[Byte]): Array[Float] =
-    imageFeatures(javax.imageio.ImageIO.read(new ByteArrayInputStream(payload)))
+  def decodeImage(payload: Array[Byte]): Array[Float] = {
+    val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+      new ByteArrayInputStream(payload))
+    val r = pngReader.get()
+    r.setInput(iis)
+    val img = r.read(0) // ≡ ImageIO.read's reader.read(0, null)
+    iis.close()
+    imageFeatures(img)
+  }
 
   /** Parse the RIFF header, decode the 16-bit PCM samples, RMS per eighth
     * (8 features, amplitude-normalized to [0,1]).
