@@ -37,6 +37,13 @@ object Pipeline {
       * rollup plan runs an eager probe job (the fuzzy-skip check): compute()
       * passes the frame it already built for candidates, run() defers the
       * build until a caller actually asks for diagnostics.
+      *
+      * Lifetime: like every other frame on this Result, `rollup` must not
+      * be touched after [[unpersist]] — in compute() mode its plan reads
+      * the persisted dictionary and the scan scratch parquet, both of
+      * which unpersist() releases/deletes (KgQueries' LRU eviction calls
+      * it), so a post-eviction access recomputes through deleted scratch
+      * and can fail (ADVICE r5).
       */
     lazy val rollup: DataFrame = rollupThunk()
     /** Release the frames compute() persisted (and the scan's scratch

@@ -105,10 +105,14 @@ class KgPipelineSpec extends AnyFunSuite with SparkTestBase {
     def keyset(df: org.apache.spark.sql.DataFrame): Set[(String, Long, Long)] =
       df.select(col("entity_id"), col("account_id"), col("freq"))
         .collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2))).toSet
+    // thread the SAME conf the pipeline used (Pipeline.confFor) — with the
+    // default KgConf the pin would silently weaken if confFor ever diverged
+    // in topK/ladder parameters for this scale (ADVICE r5)
+    val conf = Pipeline.confFor(scale)
     val rebuilt = CandidateGen.rollupAll(spark,
-      CorpusGen.entities(spark, scale).toDF(), r.dictionary)
+      CorpusGen.entities(spark, scale).toDF(), r.dictionary, conf)
     assert(keyset(r.rollup) == keyset(rebuilt))
-    val cutoff = CandidateGen.topK(r.rollup)
+    val cutoff = CandidateGen.topK(r.rollup, conf)
     assert(keyset(cutoff) == keyset(r.candidates))
   }
 
